@@ -1,0 +1,267 @@
+"""Point-cloud primitives in pure jnp, designed for XLA on TPU.
+
+These replace the reference's CUDA extension ``pointnet2/_ext_src`` with
+functional, statically-shaped implementations:
+
+* ``furthest_point_sample``  — ``sampling_gpu.cu:75-134`` (FPS with the
+  near-origin padding-point guard at ``sampling_gpu.cu:105``).
+* ``gather_points``          — ``sampling_gpu.cu:13-25`` (batched gather).
+* ``ball_query``             — ``ball_query_gpu.cu:14-49`` (first-k in index
+  order within a radius, first hit replicated as fill).
+* ``ball_query_nearest``     — TPU-native variant: nearest-k within the radius
+  via chunked top-k merges; statistically equivalent to first-k over shuffled
+  points but maps onto MXU matmuls + XLA top-k instead of a serial scan.
+* ``group_points``           — ``group_points_gpu.cu:13-33``.
+* ``three_nn`` / ``three_interpolate`` — ``interpolate_gpu.cu:14-60`` (note:
+  returns *squared* distances, as the CUDA kernel does).
+
+Gradients come from JAX autodiff of the gather formulations — the reference's
+hand-written atomicAdd scatter backward kernels are unnecessary here.
+
+All functions are channels-last: points are ``(B, N, 3)`` and features are
+``(B, N, C)``, keeping the feature axis on TPU lanes. (The reference is
+channels-first ``(B, C, N)`` because of cuDNN conv layouts.)
+
+Pallas-accelerated versions of the hot ops live in ``eda_tpu.ops.pallas``;
+this module is the correctness oracle and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_PAD_GUARD = 1e-3  # squared-magnitude guard for padding points (sampling_gpu.cu:105)
+_BIG = 1e10
+
+
+def _sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance (..., N, 3) x (..., M, 3) -> (..., N, M).
+
+    Uses the |a|^2 + |b|^2 - 2ab expansion so the cross term runs on the MXU.
+    """
+    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    # HIGHEST precision: the default bf16 matmul loses ~1e-2 absolute error
+    # after cancellation, which misclassifies points near the ball boundary.
+    cross = jnp.einsum(
+        "...nc,...mc->...nm",
+        a,
+        b,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative furthest point sampling.
+
+    Selects ``npoint`` indices per batch row, greedily maximizing the minimum
+    distance to the already-selected set. The first selected index is always 0
+    and points with squared magnitude <= 1e-3 (zero-padding of short scenes)
+    are never selected, matching ``sampling_gpu.cu:88-105``.
+
+    Args:
+        xyz: (B, N, 3) float point coordinates.
+        npoint: number of samples (static).
+
+    Returns:
+        (B, npoint) int32 indices into N.
+    """
+    xyz = xyz.astype(jnp.float32)
+    B, N, _ = xyz.shape
+    valid = jnp.sum(xyz * xyz, axis=-1) > _PAD_GUARD  # (B, N)
+
+    def body(i, state):
+        mindist, last_idx, out = state
+        last_xyz = jnp.take_along_axis(xyz, last_idx[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((xyz - last_xyz) ** 2, axis=-1)  # (B, N)
+        mindist = jnp.minimum(mindist, d)
+        score = jnp.where(valid, mindist, -1.0)
+        nxt = jnp.argmax(score, axis=-1).astype(jnp.int32)  # (B,)
+        out = out.at[:, i].set(nxt)
+        return mindist, nxt, out
+
+    out0 = jnp.zeros((B, npoint), jnp.int32)
+    first = jnp.zeros((B,), jnp.int32)
+    state = (jnp.full((B, N), _BIG, jnp.float32), first, out0)
+    _, _, out = jax.lax.fori_loop(1, npoint, body, state)
+    return out
+
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: out[b, m] = points[b, idx[b, m]].
+
+    Args:
+        points: (B, N, C).
+        idx: (B, M) integer indices.
+
+    Returns:
+        (B, M, C).
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Neighborhood gather: out[b, m, s] = points[b, idx[b, m, s]].
+
+    Args:
+        points: (B, N, C).
+        idx: (B, M, S) integer indices.
+
+    Returns:
+        (B, M, S, C).
+    """
+    B, M, S = idx.shape
+    flat = gather_points(points, idx.reshape(B, M * S))
+    return flat.reshape(B, M, S, points.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample"))
+def ball_query(
+    xyz: jnp.ndarray, new_xyz: jnp.ndarray, radius: float, nsample: int
+) -> jnp.ndarray:
+    """Reference-exact ball query: first ``nsample`` in-radius indices in order.
+
+    For each center, the indices of the first ``nsample`` points (in original
+    index order) with squared distance strictly below radius^2. Slots past the
+    number of hits are filled with the first hit; a center with no hits gets
+    all-zero indices — bit-exact semantics of ``ball_query_gpu.cu:14-49``.
+
+    O(nsample * M * N); this is the correctness oracle and small-input path.
+    Production code uses ``ball_query_nearest`` or the Pallas kernel.
+
+    Args:
+        xyz: (B, N, 3) points; new_xyz: (B, M, 3) centers.
+        radius, nsample: static.
+
+    Returns:
+        (B, M, nsample) int32.
+    """
+    d2 = _sq_dist(new_xyz, xyz)  # (B, M, N)
+    mask = d2 < radius * radius
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # (B, M, N)
+
+    def kth(s):
+        hit = mask & (pos == s + 1)
+        found = jnp.any(hit, axis=-1)
+        idx = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        return found, idx
+
+    founds, idxs = zip(*[kth(s) for s in range(nsample)])
+    idxs = jnp.stack(idxs, axis=-1)  # (B, M, ns)
+    founds = jnp.stack(founds, axis=-1)
+    first = idxs[..., 0:1]  # zero when no hits, matching torch.zeros init
+    return jnp.where(founds, idxs, first)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "chunk"))
+def ball_query_nearest(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """TPU-native ball query: the ``nsample`` *nearest* in-radius points.
+
+    Scans N in static chunks, maintaining a running top-k per center via
+    ``lax.top_k`` merges, so peak memory is O(M * (chunk + nsample)) instead of
+    O(M * N). Slots beyond the hit count replicate the nearest hit (the
+    reference replicates the first hit, ``ball_query_gpu.cu:38-43``); a center
+    with no hits gets index 0. Choosing nearest-k instead of first-k is the
+    deliberate TPU-first deviation: identical coverage statistics over
+    shuffled ScanNet points, but expressible with MXU distance matmuls +
+    vectorized top-k rather than a serial in-order scan.
+
+    Args:
+        xyz: (B, N, 3); new_xyz: (B, M, 3).
+        radius, nsample: static; chunk: N-chunk size (static).
+
+    Returns:
+        (B, M, nsample) int32.
+    """
+    B, N, _ = xyz.shape
+    r2 = radius * radius
+    if N <= chunk:
+        d2 = _sq_dist(new_xyz, xyz)
+        d2 = jnp.where(d2 < r2, d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, nsample)  # (B, M, ns)
+        idx = idx.astype(jnp.int32)
+        return jnp.where(-neg < r2, idx, idx[..., 0:1])
+
+    pad = (-N) % chunk
+    xyz_p = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+    n_chunks = (N + pad) // chunk
+    xyz_c = xyz_p.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+
+    def step(carry, inp):
+        best_d, best_i = carry  # (B, M, ns)
+        chunk_xyz, c = inp
+        d2 = _sq_dist(new_xyz, chunk_xyz)  # (B, M, chunk)
+        d2 = jnp.where(d2 < r2, d2, _BIG)
+        gidx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        cat_d = jnp.concatenate([best_d, d2], axis=-1)
+        cat_i = jnp.concatenate([best_i, gidx], axis=-1)
+        neg, sel = jax.lax.top_k(-cat_d, nsample)
+        return (-neg, jnp.take_along_axis(cat_i, sel, axis=-1)), None
+
+    init = (
+        jnp.full((B, new_xyz.shape[1], nsample), _BIG, jnp.float32),
+        jnp.zeros((B, new_xyz.shape[1], nsample), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (xyz_c, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return jnp.where(best_d < r2, best_i, best_i[..., 0:1])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, k: int = 3):
+    """k (=3) nearest neighbors by brute force, like ``interpolate_gpu.cu:14-60``.
+
+    Args:
+        unknown: (B, n, 3) query positions.
+        known: (B, m, 3) source positions.
+
+    Returns:
+        (dist2, idx): (B, n, k) squared distances (ascending) and int32 indices.
+        Note the CUDA kernel also returns *squared* distances.
+    """
+    d2 = _sq_dist(unknown, known)  # (B, n, m)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx.astype(jnp.int32)
+
+
+def three_interpolate(
+    features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted k-point feature interpolation (``interpolate_gpu.cu:82-105``).
+
+    Args:
+        features: (B, m, C) source features.
+        idx: (B, n, k) neighbor indices into m.
+        weight: (B, n, k) interpolation weights.
+
+    Returns:
+        (B, n, C) interpolated features.
+    """
+    gathered = group_points(features, idx)  # (B, n, k, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interpolation_weights(dist2: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Inverse-squared-distance weights, as ``pointnet2_modules.py:394-397``.
+
+    Args:
+        dist2: (B, n, k) squared distances from ``three_nn``.
+
+    Returns:
+        (B, n, k) weights summing to 1 over k.
+    """
+    recip = 1.0 / (dist2 + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
