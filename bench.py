@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""End-to-end grounding throughput benchmark.
+
+Measures scenes/sec/chip for the full-size EDAGrounder forward pass (50k-point
+scenes, RoBERTa-base-geometry text encoder, 3 encoder + 6 decoder layers, 256
+queries) on the available accelerator, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
+
+Baseline note (BASELINE.md): the reference publishes no throughput numbers.
+``A100_BASELINE_SCENES_PER_SEC`` is a documented estimate of the reference
+stack's A100 inference throughput: BUTD-DETR-class models at batch 12 run a
+forward in roughly 0.3 s on A100-class hardware (~40 scenes/sec); the
+BASELINE.json target is >= 3x that per chip.
+
+Usage:
+    python bench.py            # full-size model on the default backend (TPU)
+    python bench.py --dry      # tiny config smoke run (CPU-friendly)
+    python bench.py --train    # also report train-step throughput to stderr
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eda_tpu.config import ModelConfig, TrainConfig
+from eda_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+from eda_tpu.losses.criterion import SetCriterionConfig
+from eda_tpu.models import EDAGrounder
+
+A100_BASELINE_SCENES_PER_SEC = 40.0
+
+
+def build(cfg: ModelConfig, batch_size: int, text_len: int):
+    gen = SyntheticScenes(
+        SyntheticConfig(
+            num_points=cfg.num_points,
+            num_objects=8,
+            text_len=text_len,
+            max_objects=cfg.max_detected_boxes,
+        ),
+        vocab_size=cfg.text_vocab_size,
+    )
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, gen.batch(range(batch_size), butd=cfg.butd)
+    )
+    model = EDAGrounder(cfg)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), batch["inputs"], train=False))()
+    return model, variables, batch
+
+
+def bench_forward(model, variables, batch, iters: int = 20) -> float:
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fwd(variables, batch["inputs"])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch["inputs"])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch["inputs"]["point_clouds"].shape[0] / dt
+
+
+def bench_train(model, variables, batch, cfg: ModelConfig, iters: int = 10) -> float:
+    from eda_tpu.train import TrainState, make_optimizer, make_train_step
+
+    crit = SetCriterionConfig(num_decoder_layers=cfg.num_decoder_layers)
+    tx = make_optimizer(TrainConfig(), variables["params"], steps_per_epoch=1000)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_train_step(model, crit, donate=False)
+    rng = jax.random.key(0)
+    state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch["inputs"]["point_clouds"].shape[0] / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dry", action="store_true", help="tiny smoke config")
+    parser.add_argument("--train", action="store_true", help="also bench train step")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+
+    cfg = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
+    batch_size = 2 if args.dry else args.batch
+    text_len = 32 if args.dry else 64
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
+    model, variables, batch = build(cfg, batch_size, text_len)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"params: {n_params / 1e6:.1f}M", file=sys.stderr)
+
+    scenes_per_sec = bench_forward(model, variables, batch, iters=args.iters)
+    print(f"forward: {scenes_per_sec:.2f} scenes/sec", file=sys.stderr)
+
+    if args.train:
+        tps = bench_train(model, variables, batch, cfg, iters=max(2, args.iters // 2))
+        print(f"train: {tps:.2f} scenes/sec", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "grounding_forward_throughput",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec/chip",
+                "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

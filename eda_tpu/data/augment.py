@@ -1,0 +1,128 @@
+"""Train-time point-cloud augmentation (host numpy).
+
+Port of the reference ``src/joint_det_dataset.py:421-466`` semantics:
+view-dependence-gated z-rotation (90-degree multiples +-5 degrees) and
+yz/xz flips, small x/y rotations (+-2.5 degrees), 5e-3 positive noise,
++-0.5 shift, 0.98-1.02 scale, and per-point color jitter around the dataset
+mean RGB. Boxes are transformed with the same rigid transform
+(``joint_det_dataset.py:823-835``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+MEAN_RGB = np.array([109.8, 97.2, 83.8], np.float32) / 256.0  # joint_det_dataset.py:83
+
+VIEW_DEP_WORDS = (
+    "front", "behind", "back", "right", "left", "facing", "leftmost",
+    "rightmost", "looking", "across",
+)  # _augment_nr3d word gate (joint_det_dataset.py:1300-1307)
+
+
+def is_view_dependent(utterance: str) -> bool:
+    """True if the utterance contains a view-dependent relation word."""
+    words = set(utterance.replace(",", " ").lower().split())
+    return any(w in words for w in VIEW_DEP_WORDS)
+
+
+def _rot(theta_deg: float, axis: int) -> np.ndarray:
+    t = np.deg2rad(theta_deg)
+    c, s = np.cos(t), np.sin(t)
+    m = np.eye(3)
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    m[i, i] = c
+    m[j, j] = c
+    m[i, j] = -s if axis != 1 else s
+    m[j, i] = s if axis != 1 else -s
+    return m
+
+
+@dataclasses.dataclass
+class Augmentation:
+    """A sampled rigid transform, applicable to points and boxes."""
+
+    rotation: np.ndarray  # (3, 3) combined R = Rz @ Rx @ Ry order of application
+    flip_x: bool
+    flip_y: bool
+    shift: np.ndarray  # (3,)
+    scale: float
+
+    def apply_points(self, xyz: np.ndarray) -> np.ndarray:
+        out = xyz.copy()
+        if self.flip_x:
+            out[:, 0] = -out[:, 0]
+        if self.flip_y:
+            out[:, 1] = -out[:, 1]
+        out = out @ self.rotation.T
+        return (out + self.shift) * self.scale
+
+    def apply_boxes(self, boxes: np.ndarray) -> np.ndarray:
+        """cxcyczwhd boxes; rotation re-derives the axis-aligned extent from
+        transformed corners (joint_det_dataset.py:823-835)."""
+        out = boxes.copy()
+        centers, sizes = out[:, :3], out[:, 3:]
+        corners = np.stack(
+            [
+                centers + sizes / 2 * np.array(sgn)
+                for sgn in [
+                    (x, y, z) for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)
+                ]
+            ],
+            axis=1,
+        )  # (N, 8, 3)
+        flat = corners.reshape(-1, 3)
+        if self.flip_x:
+            flat[:, 0] = -flat[:, 0]
+        if self.flip_y:
+            flat[:, 1] = -flat[:, 1]
+        flat = (flat @ self.rotation.T + self.shift) * self.scale
+        corners = flat.reshape(-1, 8, 3)
+        mn, mx = corners.min(1), corners.max(1)
+        return np.concatenate([(mn + mx) / 2, mx - mn], -1)
+
+
+def sample_augmentation(
+    rng: np.random.Generator, rotate: bool
+) -> Augmentation:
+    """Sample the reference's augmentation parameters."""
+    if rotate:
+        theta_z = 90 * rng.integers(0, 4) + (2 * rng.random() - 1) * 5
+        flip_x = rng.random() > 0.5
+        flip_y = rng.random() > 0.5
+    else:
+        theta_z = (2 * rng.random() - 1) * 5
+        flip_x = flip_y = False
+    theta_x = (2 * rng.random() - 1) * 2.5
+    theta_y = (2 * rng.random() - 1) * 2.5
+    rotation = _rot(theta_y, 1) @ _rot(theta_x, 0) @ _rot(float(theta_z), 2)
+    return Augmentation(
+        rotation=rotation,
+        flip_x=bool(flip_x),
+        flip_y=bool(flip_y),
+        shift=rng.random(3) - 0.5,
+        scale=0.98 + 0.04 * rng.random(),
+    )
+
+
+def augment_scene(
+    rng: np.random.Generator,
+    xyz: np.ndarray,
+    color: Optional[np.ndarray],
+    boxes: np.ndarray,
+    rotate: bool,
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
+    """Jointly augment points, colors, and boxes."""
+    aug = sample_augmentation(rng, rotate)
+    new_xyz = aug.apply_points(xyz)
+    new_xyz = new_xyz + rng.random((len(xyz), 3)) * 5e-3
+    new_boxes = aug.apply_boxes(boxes)
+    new_color = color
+    if color is not None:
+        new_color = (color + MEAN_RGB) * (
+            0.98 + 0.04 * rng.random((len(color), 3))
+        ) - MEAN_RGB
+    return new_xyz.astype(np.float32), new_color, new_boxes.astype(np.float32)

@@ -1,0 +1,324 @@
+"""Text decoupling: split an utterance into main / attribute / pronoun /
+relation / other-object character spans.
+
+This is EDA's first contribution: every utterance is decomposed into five
+semantic components which the dense alignment losses supervise separately
+(reference ``sng_parser/backends/spacy_parser.py`` driven from
+``src/joint_det_dataset.py:1310-1399``).
+
+The reference implementation needs spaCy's dependency parser plus ~700 lines
+of heuristics. This rebuild uses a deterministic rule-based chunker over the
+vocabularies in ``eda_tpu.data.vocab`` — no model download, no native
+dependency, identical output *shape* (character spans consumed by
+``get_positive_map``-style token alignment). The grammar of ScanRefer/SR3D/
+NR3D utterances is narrow ("the brown chair. it is next to the table."), which
+is what makes the rule-based approach viable.
+
+Output mirrors the reference node schema (``spacy_parser.py:325-447``):
+node 0 is the main entity carrying target/mod/pron/rel char spans; other
+Object nodes carry their own target spans; ``auxi_entity`` is the first
+non-main Object node (``joint_det_dataset.py:1393-1399``).
+
+Known deviations (documented, benign for the alignment losses):
+* every relation phrase in the utterance is attributed to the main entity
+  (the reference walks the dependency tree to attach relations to specific
+  entity pairs, but the consumed supervision — ``rel_positive_map`` row 0 —
+  only ever uses the main entity's relation spans);
+* predicate attributes are found by [entity|pronoun] COPULA ADJ* patterns
+  instead of dependency arcs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Tuple
+
+from eda_tpu.data import vocab
+
+Span = Tuple[int, int]
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9'-]+|[^\sA-Za-z0-9]")
+
+
+@dataclasses.dataclass
+class Node:
+    """One parsed entity (reference node dict, spacy_parser.py:426-447)."""
+
+    node_id: int
+    node_type: str  # Object | Scene | Pron
+    target_char_span: List[Span] = dataclasses.field(default_factory=list)
+    mod_char_span: List[Span] = dataclasses.field(default_factory=list)
+    pron_char_span: List[Span] = dataclasses.field(default_factory=list)
+    rel_char_span: List[Span] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ParseResult:
+    nodes: List[Node]
+    relations: List[Span]
+
+    @property
+    def main(self) -> Optional[Node]:
+        return self.nodes[0] if self.nodes and self.nodes[0].node_id == 0 else None
+
+    @property
+    def auxi_entity(self) -> Optional[Node]:
+        for node in self.nodes:
+            if node.node_id != 0 and node.node_type == "Object":
+                return node
+        return None
+
+
+@dataclasses.dataclass
+class _Tok:
+    text: str
+    lower: str
+    start: int
+    end: int
+    kind: str = "OTHER"  # DET NUM ADJ PRON NOUN_OBJ NOUN_SCENE REL COP CONJ PUNCT OTHER
+    rel_group: int = -1  # tokens of one relation phrase share a group id
+
+
+def _tokenize(text: str) -> List[_Tok]:
+    return [
+        _Tok(m.group(), m.group().lower(), m.start(), m.end())
+        for m in _TOKEN_RE.finditer(text)
+    ]
+
+
+_NUM_WORDS = frozenset(
+    "one two three four five six seven eight nine ten eleven twelve".split()
+)
+
+
+def _classify(toks: List[_Tok]) -> None:
+    """Tag tokens; relation phrases get greedy longest-match priority."""
+    n = len(toks)
+    # relation phrases first (multi-word, longest wins)
+    group = 0
+    i = 0
+    phrase_words = [p.split() for p in vocab.RELATION_PHRASES]
+    while i < n:
+        matched = 0
+        for words in phrase_words:
+            k = len(words)
+            if i + k <= n and all(toks[i + j].lower == words[j] for j in range(k)):
+                # don't treat bare 'on'/'in'/'at'/'by' before non-entities as
+                # relations? keep simple: accept all matches.
+                for j in range(k):
+                    toks[i + j].kind = "REL"
+                    toks[i + j].rel_group = group
+                matched = k
+                group += 1
+                break
+        i += matched if matched else 1
+
+    for t in toks:
+        if t.kind == "REL":
+            continue
+        if not t.text[0].isalnum():
+            t.kind = "PUNCT"
+        elif t.lower in vocab.DETERMINERS:
+            t.kind = "DET"
+        elif t.lower in vocab.PRONOUNS:
+            t.kind = "PRON"
+        elif t.lower in vocab.COPULAS:
+            t.kind = "COP"
+        elif t.lower in vocab.CONJUNCTIONS:
+            t.kind = "CONJ"
+        elif t.lower.replace(".", "").isdigit() or t.lower in _NUM_WORDS or (
+            len(t.lower) > 2 and t.lower[:-2].isdigit() and t.lower[-2:] in ("st", "nd", "rd", "th")
+        ):
+            t.kind = "NUM"
+        elif vocab.is_object_noun(t.lower):
+            t.kind = "NOUN_OBJ"
+        elif vocab.is_scene_noun(t.lower):
+            t.kind = "NOUN_SCENE"
+        elif t.lower in vocab.ATTRIBUTES:
+            t.kind = "ADJ"
+
+    # multi-word object phrases ("trash can"): retag all member words NOUN_OBJ
+    for k, phrases in vocab.multiword_objects().items():
+        for i in range(n - k + 1):
+            cand = " ".join(toks[i + j].lower for j in range(k))
+            if cand in phrases and all(
+                toks[i + j].kind in ("NOUN_OBJ", "ADJ", "OTHER", "NOUN_SCENE")
+                for j in range(k)
+            ):
+                for j in range(k):
+                    toks[i + j].kind = "NOUN_OBJ"
+
+
+@dataclasses.dataclass
+class _Chunk:
+    head_idx: List[int]  # token indices of the head noun(s)
+    mod_idx: List[int]  # modifier token indices
+    kind: str  # Object | Scene | Pron
+    start: int
+    end: int  # token index range [start, end)
+
+
+def _chunk(toks: List[_Tok]) -> List[_Chunk]:
+    """Greedy NP chunking: [DET]? (ADJ|NUM)* NOUN+ ; PRON alone."""
+    chunks: List[_Chunk] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == "PRON":
+            # 'that'/'this'/'one' directly before a noun act as determiners
+            nxt = toks[i + 1] if i + 1 < n else None
+            if nxt is not None and nxt.kind in ("ADJ", "NUM", "NOUN_OBJ", "NOUN_SCENE"):
+                t.kind = "DET"
+            else:
+                chunks.append(_Chunk([i], [], "Pron", i, i + 1))
+                i += 1
+                continue
+        if t.kind in ("DET", "ADJ", "NUM", "NOUN_OBJ", "NOUN_SCENE"):
+            start = i
+            mods: List[int] = []
+            heads: List[int] = []
+            noun_kind = None
+            while i < n and toks[i].kind in ("DET", "ADJ", "NUM", "NOUN_OBJ", "NOUN_SCENE"):
+                k = toks[i].kind
+                if k in ("ADJ", "NUM"):
+                    mods.append(i)
+                elif k in ("NOUN_OBJ", "NOUN_SCENE"):
+                    heads.append(i)
+                    noun_kind = "Object" if k == "NOUN_OBJ" else (noun_kind or "Scene")
+                i += 1
+            if heads:
+                # The trailing run of consecutive noun tokens is the
+                # (possibly multi-word) head; earlier detached nouns act as
+                # compounds/modifiers: "kitchen counter" -> head, but
+                # "kitchen [ADJ] counter" -> kitchen modifies counter.
+                tail = [heads[-1]]
+                for h in reversed(heads[:-1]):
+                    if h == tail[0] - 1:
+                        tail.insert(0, h)
+                    else:
+                        mods.append(h)
+                chunks.append(_Chunk(tail, sorted(mods), noun_kind or "Scene", start, i))
+            # a det/adj run with no noun is dropped (e.g. trailing "the")
+            continue
+        i += 1
+    return chunks
+
+
+def parse(caption: str) -> ParseResult:
+    """Decouple a caption. See module docstring for the node schema."""
+    toks = _tokenize(caption)
+    _classify(toks)
+    chunks = _chunk(toks)
+
+    def span(i: int) -> Span:
+        return (toks[i].start, toks[i].end)
+
+    # main entity: first Object chunk whose head is not wall/floor
+    # (spacy_parser.py:168-183)
+    main_i = None
+    for ci, c in enumerate(chunks):
+        if c.kind == "Object" and not all(
+            toks[h].lower in vocab.NON_MAIN_OBJECTS for h in c.head_idx
+        ):
+            main_i = ci
+            break
+    if main_i is None:
+        for ci, c in enumerate(chunks):
+            if c.kind == "Object":
+                main_i = ci
+                break
+
+    nodes: List[Node] = []
+    relations = [
+        span(i) for i in range(len(toks)) if toks[i].kind == "REL"
+    ]
+
+    if main_i is None:
+        return ParseResult(nodes, relations)
+
+    main_chunk = chunks[main_i]
+    main_head_text = " ".join(toks[h].lower for h in main_chunk.head_idx)
+    main = Node(0, "Object")
+    main.target_char_span = [span(h) for h in main_chunk.head_idx]
+    main.mod_char_span = [span(m) for m in main_chunk.mod_idx]
+    main.rel_char_span = list(relations)
+    nodes.append(main)
+
+    ent_id = 0
+    for ci, c in enumerate(chunks):
+        if ci == main_i:
+            continue
+        if c.kind == "Pron":
+            if ci > main_i:  # pronouns before the main entity are dropped
+                main.pron_char_span.extend(span(h) for h in c.head_idx)
+            continue
+        head_text = " ".join(toks[h].lower for h in c.head_idx)
+        first = c.head_idx[0]
+        preceded_by_the = first > 0 and toks[first - 1].lower == "the"
+        if c.kind == "Object" and head_text == main_head_text and (
+            preceded_by_the or ci > main_i
+        ):
+            # repeated mention of the main object -> coref to node 0
+            # (spacy_parser.py:208-215); spans count as pronoun spans and
+            # its modifiers flow to the main node (spacy_parser.py:436-447).
+            main.pron_char_span.extend(span(h) for h in c.head_idx)
+            main.mod_char_span.extend(span(m) for m in c.mod_idx)
+            continue
+        ent_id += 1
+        node = Node(ent_id, c.kind)
+        node.target_char_span = [span(h) for h in c.head_idx]
+        node.mod_char_span = [span(m) for m in c.mod_idx]
+        nodes.append(node)
+
+    # predicate attributes: [main | pron] COP (ADJ|NUM|CONJ)* -> mods of main
+    # ("the chair is black and wooden", spacy_parser.py:303-323)
+    for i, t in enumerate(toks):
+        if t.kind != "COP":
+            continue
+        subj_ok = False
+        j = i - 1
+        while j >= 0 and toks[j].kind == "PUNCT":
+            j -= 1
+        if j >= 0:
+            if toks[j].kind == "PRON":
+                subj_ok = j > main_chunk.start or any(
+                    toks[j].start == s for s, _ in main.pron_char_span
+                )
+            elif main_chunk.start <= j < main_chunk.end:
+                subj_ok = True
+            elif any(toks[j].start == s for s, _ in main.pron_char_span):
+                subj_ok = True
+        if not subj_ok:
+            continue
+        k = i + 1
+        while k < len(toks) and toks[k].kind in ("ADJ", "NUM", "CONJ", "DET", "COP"):
+            if toks[k].kind in ("ADJ", "NUM"):
+                if span(k) not in main.mod_char_span:
+                    main.mod_char_span.append(span(k))
+            k += 1
+
+    return ParseResult(nodes, relations)
+
+
+def decoupled_spans(caption: str) -> dict:
+    """Convenience dict of the five span groups for positive-map building.
+
+    Keys: main, modifiers, pronouns, relations, others, auxi — each a list of
+    (char_start, char_end) spans into ``caption``.
+    """
+    result = parse(caption)
+    main = result.main
+    others: List[Span] = []
+    for node in result.nodes:
+        if node.node_id != 0 and node.node_type == "Object":
+            others.extend(node.target_char_span)
+    auxi = result.auxi_entity
+    return {
+        "main": list(main.target_char_span) if main else [],
+        "modifiers": list(main.mod_char_span) if main else [],
+        "pronouns": list(main.pron_char_span) if main else [],
+        "relations": list(main.rel_char_span) if main else [],
+        "others": others,
+        "auxi": list(auxi.target_char_span) if auxi else [],
+    }

@@ -1,0 +1,307 @@
+"""Cross-modal transformer layers, position embeddings, prediction heads.
+
+Flax re-implementations of the reference modules:
+
+* ``PositionEmbeddingLearned``       — ``models/encoder_decoder_layers.py:19-34``
+* ``BiEncoderLayer`` / ``BiEncoder`` — ``models/encoder_decoder_layers.py:189-285``
+* ``CrossAttentionLayer``            — ``models/encoder_decoder_layers.py:37-124``
+* ``BiDecoderLayer``                 — ``models/encoder_decoder_layers.py:288-407``
+* ``PointsObjClsModule``             — ``models/modules.py:19-49``
+* ``ThreeLayerMLP`` / ``ClsAgnosticPredictHead`` — ``models/modules.py:89-178``
+
+Conventions (all different from the torch reference, all deliberate):
+
+* batch-first ``(B, L, F)`` throughout — no (L, B, F) transposes;
+* masks are *validity* masks: True = real token. Torch's key_padding_mask
+  (True = ignore) and HF's attention_mask (1 = attend) both map onto this;
+* post-norm residual blocks, matching torch ``nn.MultiheadAttention`` usage
+  in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eda_tpu.models.pointnet2 import BN_MOMENTUM
+
+
+def _attn_mask(valid: Optional[jnp.ndarray], q_len: int) -> Optional[jnp.ndarray]:
+    """(B, Lk) validity -> (B, 1, Lq, Lk) attention mask for flax MHA."""
+    if valid is None:
+        return None
+    return jnp.broadcast_to(
+        valid[:, None, None, :], (valid.shape[0], 1, q_len, valid.shape[1])
+    )
+
+
+class MHA(nn.Module):
+    """Multi-head attention with separate q/kv and a validity mask."""
+
+    d_model: int
+    n_heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, valid: Optional[jnp.ndarray], *, train: bool):
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            dtype=self.dtype,
+        )(q, k, v, mask=_attn_mask(valid, q.shape[1]))
+
+
+class ResidualAttn(nn.Module):
+    """x + dropout(attn) -> LayerNorm, the post-norm block used everywhere."""
+
+    d_model: int
+    n_heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, k, v, valid, *, train: bool, q_pos=None):
+        q = x if q_pos is None else x + q_pos
+        a = MHA(self.d_model, self.n_heads, self.dropout, self.dtype)(
+            q, k, v, valid, train=train
+        )
+        a = nn.Dropout(self.dropout, deterministic=not train)(a)
+        return nn.LayerNorm(dtype=jnp.float32)(x + a)
+
+
+class FFN(nn.Module):
+    """x + MLP(x) -> LayerNorm (reference ffn blocks, dim_feedforward=256)."""
+
+    d_model: int
+    dim_feedforward: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.LayerNorm(dtype=jnp.float32)(x + h)
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Dense + BN + ReLU + Dense over xyz (3) or box (6) coordinates."""
+
+    num_pos_feats: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        h = nn.Dense(self.num_pos_feats, dtype=self.dtype)(coords.astype(self.dtype))
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, dtype=jnp.float32
+        )(h)
+        h = nn.relu(h)
+        return nn.Dense(self.num_pos_feats, dtype=self.dtype)(h)
+
+
+class BiEncoderLayer(nn.Module):
+    """Self-attention per modality, then bidirectional cross-attention.
+
+    Order matches ``encoder_decoder_layers.py:225-255``: vision self-attn
+    (pos added to q and k), language self-attn (no FFN), then the cross block:
+    lang->vis attn + FFN, vis->lang attn, optional vis->detected-boxes attn,
+    vis FFN.
+    """
+
+    d_model: int
+    n_heads: int = 8
+    dim_feedforward: int = 256
+    dropout: float = 0.1
+    self_attend: bool = True
+    use_butd_enc_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        vis_feats: jnp.ndarray,
+        pos_feats: jnp.ndarray,
+        vis_valid: Optional[jnp.ndarray],
+        text_feats: jnp.ndarray,
+        text_valid: Optional[jnp.ndarray],
+        detected_feats: Optional[jnp.ndarray] = None,
+        detected_valid: Optional[jnp.ndarray] = None,
+        *,
+        train: bool,
+    ):
+        d, h, p, dt = self.d_model, self.n_heads, self.dropout, self.dtype
+        if self.self_attend:
+            vq = vis_feats + pos_feats
+            vis_feats = ResidualAttn(d, h, p, dt, name="self_vis")(
+                vis_feats, vq, vis_feats, vis_valid, train=train, q_pos=pos_feats
+            )
+            text_feats = ResidualAttn(d, h, p, dt, name="self_lang")(
+                text_feats, text_feats, text_feats, text_valid, train=train
+            )
+
+        # Cross block. Language attends to vision, then FFN.
+        text_feats = ResidualAttn(d, h, p, dt, name="cross_lv")(
+            text_feats, vis_feats, vis_feats, vis_valid, train=train
+        )
+        text_feats = FFN(d, self.dim_feedforward, p, dt, name="ffn_lv")(
+            text_feats, train=train
+        )
+        # Vision attends to language (query gets pos embedding).
+        vis_feats = ResidualAttn(d, h, p, dt, name="cross_vl")(
+            vis_feats, text_feats, text_feats, text_valid, train=train, q_pos=pos_feats
+        )
+        # Optional detected-box stream (butd).
+        if self.use_butd_enc_attn and detected_feats is not None:
+            vis_feats = ResidualAttn(d, h, p, dt, name="cross_d")(
+                vis_feats, detected_feats, detected_feats, detected_valid, train=train
+            )
+        vis_feats = FFN(d, self.dim_feedforward, p, dt, name="ffn_vl")(
+            vis_feats, train=train
+        )
+        return vis_feats, text_feats
+
+
+class BiDecoderLayer(nn.Module):
+    """Query self-attn -> cross(text) -> cross(boxes, butd) -> cross(vision) -> FFN.
+
+    Reference ``encoder_decoder_layers.py:288-407``; the learned position
+    embedding of the query location (xyz or xyz+size) is added to q (and k for
+    self-attention) at every attention call.
+    """
+
+    d_model: int
+    n_heads: int = 8
+    dim_feedforward: int = 256
+    dropout: float = 0.1
+    self_position_embedding: str = "loc_learned"
+    butd: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        vis_feats: jnp.ndarray,
+        text_feats: jnp.ndarray,
+        query_loc: jnp.ndarray,
+        text_valid: Optional[jnp.ndarray],
+        detected_feats: Optional[jnp.ndarray] = None,
+        detected_valid: Optional[jnp.ndarray] = None,
+        *,
+        train: bool,
+    ) -> jnp.ndarray:
+        d, h, p, dt = self.d_model, self.n_heads, self.dropout, self.dtype
+        if self.self_position_embedding == "none":
+            q_pos = None
+        else:
+            q_pos = PositionEmbeddingLearned(d, dt, name="self_posembed")(
+                query_loc, train=train
+            )
+
+        qk = query if q_pos is None else query + q_pos
+        query = ResidualAttn(d, h, p, dt, name="self_attn")(
+            query, qk, query, None, train=train, q_pos=q_pos
+        )
+        query = ResidualAttn(d, h, p, dt, name="cross_l")(
+            query, text_feats, text_feats, text_valid, train=train, q_pos=q_pos
+        )
+        if self.butd and detected_feats is not None:
+            query = ResidualAttn(d, h, p, dt, name="cross_d")(
+                query, detected_feats, detected_feats, detected_valid, train=train,
+                q_pos=q_pos,
+            )
+        query = ResidualAttn(d, h, p, dt, name="cross_v")(
+            query, vis_feats, vis_feats, None, train=train, q_pos=q_pos
+        )
+        return FFN(d, self.dim_feedforward, p, dt, name="ffn")(query, train=train)
+
+
+class PointsObjClsModule(nn.Module):
+    """Seed objectness head: Dense+BN+ReLU x2 + Dense(1) (``modules.py:19-49``)."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, seed_features: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        h = seed_features.astype(self.dtype)
+        for _ in range(2):
+            h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, dtype=jnp.float32
+            )(h)
+            h = nn.relu(h)
+        return nn.Dense(1, dtype=jnp.float32)(h)[..., 0]  # (B, K)
+
+
+class ThreeLayerMLP(nn.Module):
+    """Dense(no bias)+BN+ReLU+Dropout(0.3) x2 + Dense(out) (``modules.py:89-108``)."""
+
+    dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        h = x.astype(self.dtype)
+        for _ in range(2):
+            h = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, dtype=jnp.float32
+            )(h)
+            h = nn.relu(h)
+            h = nn.Dropout(0.3, deterministic=not train)(h)
+        return nn.Dense(self.out_dim, dtype=jnp.float32)(h)
+
+
+class ClsAgnosticPredictHead(nn.Module):
+    """Center-residual, size, and soft-token class heads (``modules.py:111-178``).
+
+    Returns (center, size, sem_cls_scores):
+        center = base_xyz + center_residual      (B, Q, 3)
+        size                                      (B, Q, 3)
+        sem_cls_scores over num_class token slots (B, Q, num_class)
+    """
+
+    num_class: int
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, base_xyz: jnp.ndarray, *, train: bool):
+        center_residual = ThreeLayerMLP(self.d_model, 3, self.dtype, name="center_head")(
+            features, train=train
+        )
+        pred_size = ThreeLayerMLP(self.d_model, 3, self.dtype, name="size_head")(
+            features, train=train
+        )
+        sem_cls = ThreeLayerMLP(
+            self.d_model, self.num_class, self.dtype, name="sem_cls_head"
+        )(features, train=train)
+        return base_xyz + center_residual, pred_size, sem_cls
+
+
+class ContrastiveProjection(nn.Module):
+    """3-layer MLP to the shared 64-d space, L2-normalized (``bdetr.py:140-154``)."""
+
+    d_model: int
+    out_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x.astype(self.dtype)
+        h = nn.relu(nn.Dense(self.d_model, dtype=self.dtype)(h))
+        h = nn.relu(nn.Dense(self.d_model, dtype=self.dtype)(h))
+        h = nn.Dense(self.out_dim, dtype=jnp.float32)(h)
+        return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)

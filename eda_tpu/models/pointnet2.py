@@ -1,0 +1,186 @@
+"""PointNet++ backbone in Flax (channels-last, single XLA graph).
+
+Re-designs the reference stack
+``pointnet2/pointnet2_modules.py`` + ``models/backbone_module.py`` for TPU:
+
+* channels-last everywhere — the feature axis rides TPU lanes, and the
+  1x1 Conv2d towers of the reference become plain ``nn.Dense`` applied to
+  ``(B, M, nsample, C)`` neighborhoods (pure MXU matmuls that XLA fuses with
+  the BN+ReLU epilogues);
+* sampling/grouping are the functional ops from ``eda_tpu.ops`` (Pallas FPS
+  on TPU, jnp fallback elsewhere), so the whole backbone traces into one
+  jitted graph with static shapes;
+* BatchNorm statistics are global across the data-parallel batch for free:
+  under pjit the batch axis is sharded but the graph is global, so XLA
+  inserts the cross-replica reductions the reference needed SyncBatchNorm
+  for (``main_utils.py:336-338``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eda_tpu.ops import pointops
+
+# Flax BatchNorm momentum 0.9 == torch momentum 0.1 (models/bdetr.py:341-345).
+BN_MOMENTUM = 0.9
+
+
+class SharedMLP(nn.Module):
+    """Dense + BatchNorm + ReLU tower over the trailing feature axis.
+
+    Equivalent of ``pytorch_utils.SharedMLP`` (1x1 Conv2d + BN2d + ReLU): a
+    1x1 conv over (B, C, M, ns) is exactly a Dense over channels-last input.
+    """
+
+    channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        for ch in self.channels:
+            x = nn.Dense(ch, use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, dtype=jnp.float32
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale grouping SA layer (``PointnetSAModuleVotes``).
+
+    FPS -> ball query -> relative-xyz grouping (normalized by radius) ->
+    shared MLP -> max pool over the neighborhood
+    (reference ``pointnet2/pointnet2_modules.py:210-272`` with
+    use_xyz=True, normalize_xyz=True as in ``backbone_module.py:44-78``).
+    """
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp_channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: Optional[jnp.ndarray],
+        *,
+        train: bool,
+    ):
+        """xyz (B, N, 3); features (B, N, C) or None.
+
+        Returns (new_xyz (B, M, 3), new_features (B, M, C'), inds (B, M)).
+        """
+        inds = pointops.furthest_point_sample(xyz, self.npoint)
+        new_xyz = pointops.gather_points(xyz, inds)
+        nbr = pointops.ball_query_nearest(xyz, new_xyz, self.radius, self.nsample)
+        grouped_xyz = pointops.group_points(xyz, nbr) - new_xyz[:, :, None, :]
+        grouped_xyz = grouped_xyz / self.radius  # normalize_xyz
+        if features is not None:
+            grouped = jnp.concatenate(
+                [grouped_xyz, pointops.group_points(features, nbr)], axis=-1
+            )
+        else:
+            grouped = grouped_xyz
+        h = SharedMLP(self.mlp_channels, dtype=self.dtype)(
+            grouped.astype(self.dtype), train=train
+        )
+        return new_xyz, jnp.max(h, axis=2), inds
+
+
+class FeaturePropagation(nn.Module):
+    """FP layer: 3-NN inverse-square-distance interpolation + shared MLP.
+
+    Reference ``pointnet2/pointnet2_modules.py:356-416``.
+    """
+
+    mlp_channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown_xyz: jnp.ndarray,
+        known_xyz: jnp.ndarray,
+        unknown_feats: Optional[jnp.ndarray],
+        known_feats: jnp.ndarray,
+        *,
+        train: bool,
+    ) -> jnp.ndarray:
+        dist2, idx = pointops.three_nn(unknown_xyz, known_xyz)
+        weight = pointops.interpolation_weights(dist2)
+        interp = pointops.three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp_channels, dtype=self.dtype)(
+            interp.astype(self.dtype), train=train
+        )
+
+
+class PointNetPPBackbone(nn.Module):
+    """4 SA + 2 FP layers producing 1024 seeds (``models/backbone_module.py:26-144``).
+
+    Output dict keys keep the reference naming (they are load-bearing for the
+    losses and evaluators): ``sa{i}_xyz/features/inds``, ``fp2_features``
+    (B, 1024, out_dim), ``fp2_xyz`` (B, 1024, 3), ``fp2_inds`` (B, 1024) —
+    indices into the raw input cloud via ``sa1_inds[:, :1024]``
+    (``backbone_module.py:142``).
+    """
+
+    npoints: Sequence[int] = (2048, 1024, 512, 256)
+    radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
+    nsamples: Sequence[int] = (64, 32, 16, 16)
+    mlps: Sequence[Sequence[int]] = (
+        (64, 64, 128),
+        (128, 128, 256),
+        (128, 128, 256),
+        (128, 128, 256),
+    )
+    fp_mlps: Sequence[Sequence[int]] = ((256, 256), (256, 288))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point_cloud: jnp.ndarray, *, train: bool) -> dict:
+        """point_cloud: (B, N, 3 + input_feature_dim)."""
+        xyz = point_cloud[..., 0:3].astype(jnp.float32)
+        features = point_cloud[..., 3:] if point_cloud.shape[-1] > 3 else None
+
+        end_points = {}
+        for i in range(4):
+            xyz, features, inds = SetAbstraction(
+                npoint=self.npoints[i],
+                radius=self.radii[i],
+                nsample=self.nsamples[i],
+                mlp_channels=self.mlps[i],
+                dtype=self.dtype,
+                name=f"sa{i + 1}",
+            )(xyz, features, train=train)
+            end_points[f"sa{i + 1}_xyz"] = xyz
+            end_points[f"sa{i + 1}_features"] = features
+            end_points[f"sa{i + 1}_inds"] = inds
+
+        f1 = FeaturePropagation(self.fp_mlps[0], dtype=self.dtype, name="fp1")(
+            end_points["sa3_xyz"],
+            end_points["sa4_xyz"],
+            end_points["sa3_features"],
+            end_points["sa4_features"],
+            train=train,
+        )
+        f2 = FeaturePropagation(self.fp_mlps[1], dtype=self.dtype, name="fp2")(
+            end_points["sa2_xyz"],
+            end_points["sa3_xyz"],
+            end_points["sa2_features"],
+            f1,
+            train=train,
+        )
+        num_seed = end_points["sa2_xyz"].shape[1]
+        end_points["fp2_features"] = f2
+        end_points["fp2_xyz"] = end_points["sa2_xyz"]
+        end_points["fp2_inds"] = end_points["sa1_inds"][:, :num_seed]
+        return end_points

@@ -1,0 +1,109 @@
+"""Jitted train/eval steps over the device mesh.
+
+One ``train_step`` call is the reference's whole inner loop
+(``main_utils.py:448-526``): forward, loss (including all Hungarian matches,
+on device), backward, clip, optimizer update, BN running-stat update. Under
+a global-view jit with the batch sharded over the mesh's ``data`` axis, XLA
+inserts the gradient all-reduce and cross-replica BN reductions that DDP +
+SyncBatchNorm provided in the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from eda_tpu.losses.criterion import SetCriterionConfig, compute_hungarian_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+def make_train_step(
+    model,
+    criterion_cfg: SetCriterionConfig,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    The returned function maps (state, batch, rng) -> (state, metrics), where
+    ``batch`` = {"inputs": model inputs dict, "targets": loss targets dict}.
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            end_points, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["inputs"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss, metrics = compute_hungarian_loss(
+                criterion_cfg, end_points, batch["targets"]
+            )
+            return loss, (metrics, mutated["batch_stats"])
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, criterion_cfg: Optional[SetCriterionConfig] = None):
+    """Jitted eval forward (+ optional loss stats, main_utils.py:529-565)."""
+
+    @jax.jit
+    def eval_fn(params, batch_stats, batch):
+        end_points = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["inputs"],
+            train=False,
+        )
+        metrics = {}
+        if criterion_cfg is not None and "targets" in batch:
+            _, metrics = compute_hungarian_loss(
+                criterion_cfg, end_points, batch["targets"]
+            )
+        return end_points, metrics
+
+    return eval_fn
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def forward(model, variables, inputs):
+    """Plain inference forward."""
+    return model.apply(variables, inputs, train=False)
