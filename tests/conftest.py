@@ -8,9 +8,8 @@ case, see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# Persistent compilation cache: the full-model CPU compiles are minutes; the
-# cache makes repeat test runs fast.
+# Persistent compilation cache: full-model CPU compiles are slow; the cache
+# makes repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -18,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# This image's sitecustomize force-registers a remote TPU backend and
+# overrides JAX_PLATFORMS after env parsing — config.update is the only way
+# to actually get the host CPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
