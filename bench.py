@@ -56,15 +56,34 @@ def build(cfg: ModelConfig, batch_size: int, text_len: int):
     return model, variables, batch
 
 
-def bench_forward(model, variables, batch, iters: int = 20) -> float:
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    out = fwd(variables, batch["inputs"])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, batch["inputs"])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+def _force(x):
+    """Force completion with a scalar-only device->host fetch.
+
+    On tunneled backends block_until_ready can return early and fetching a
+    full array measures link bandwidth, not compute — a scalar read of a
+    dependent value is the only honest sync.
+    """
+    return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def bench_forward(model, variables, batch, iters: int = 20, inner: int = 4) -> float:
+    """Amortize dispatch overhead with ``inner`` chained forwards per call."""
+
+    @jax.jit
+    def fwd_n(v, x):
+        def body(_, acc):
+            out = model.apply(v, x, train=False)
+            return acc + jnp.sum(out["last_center"])
+
+        return jax.lax.fori_loop(0, inner, body, 0.0)
+
+    _force(fwd_n(variables, batch["inputs"]))
+    times = []
+    for _ in range(max(iters // inner, 3)):
+        t0 = time.perf_counter()
+        _force(fwd_n(variables, batch["inputs"]))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / inner
     return batch["inputs"]["point_clouds"].shape[0] / dt
 
 
@@ -77,12 +96,14 @@ def bench_train(model, variables, batch, cfg: ModelConfig, iters: int = 10) -> f
     step = make_train_step(model, crit, donate=False)
     rng = jax.random.key(0)
     state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
+    _force(m["loss"])
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+        _force(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return batch["inputs"]["point_clouds"].shape[0] / dt
 
 

@@ -39,6 +39,10 @@ class ModelConfig:
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
     sa_mlps: Sequence[Sequence[int]] = ((64, 64, 128), (128, 128, 256), (128, 128, 256), (128, 128, 256))
     fp_mlps: Sequence[Sequence[int]] = ((256, 256), (256, 288))
+    # fused = TPU-native index-free SA (ops/fused_sa.py); gather = exact
+    # reference semantics (ball query + neighbor gather + BN).
+    sa_impl: str = "fused"
+    sa_windows: Sequence[int] = (2048, 1024, 1024, 512)
     num_points: int = 50000
     # Text encoder (RoBERTa-base geometry by default)
     text_vocab_size: int = 50265
@@ -55,6 +59,7 @@ class ModelConfig:
         return dataclasses.replace(
             self,
             num_points=1024,
+            sa_windows=(256, 128, 64, 64),
             sa_npoints=(256, 128, 64, 32),
             sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
             fp_mlps=((64, 64), (64, 96)),

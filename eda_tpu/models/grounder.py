@@ -61,6 +61,8 @@ class EDAGrounder(nn.Module):
             nsamples=tuple(cfg.sa_nsamples),
             mlps=tuple(tuple(m) for m in cfg.sa_mlps),
             fp_mlps=tuple(tuple(m) for m in cfg.fp_mlps),
+            sa_impl=cfg.sa_impl,
+            sa_windows=tuple(cfg.sa_windows),
             dtype=dtype,
             name="backbone_net",
         )(inputs["point_clouds"], train=train)

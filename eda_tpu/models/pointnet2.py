@@ -94,6 +94,65 @@ class SetAbstraction(nn.Module):
         return new_xyz, jnp.max(h, axis=2), inds
 
 
+class FusedSetAbstraction(nn.Module):
+    """Index-free SA layer: FPS + fused dense/windowed neighborhood MLP.
+
+    The TPU-native default (``ops/fused_sa.py``): no ball query, no neighbor
+    gather; the neighborhood is all in-radius points of a Morton-sorted
+    window (all N when ``window >= N``), pooled by max. Uses LayerNorm in the
+    pair MLP (fusable; BN batch stats over the masked dense pair grid would
+    need multi-pass reductions). ``SetAbstraction`` remains the
+    reference-exact path.
+    """
+
+    npoint: int
+    radius: float
+    window: int
+    mlp_channels: Sequence[int]
+    block: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: Optional[jnp.ndarray],
+        *,
+        train: bool,
+    ):
+        from eda_tpu.ops.fused_sa import SAParams, fused_set_abstraction
+
+        if features is None:
+            features = jnp.zeros(xyz.shape[:2] + (0,), xyz.dtype)
+        inds = pointops.furthest_point_sample_auto(xyz, self.npoint)
+        new_xyz = pointops.gather_points(xyz, inds)
+
+        kernels, biases, scales, ln_biases = [], [], [], []
+        prev = 3 + features.shape[-1]
+        for i, ch in enumerate(self.mlp_channels):
+            kernels.append(
+                self.param(f"w{i}", nn.initializers.lecun_normal(), (prev, ch))
+            )
+            biases.append(self.param(f"b{i}", nn.initializers.zeros, (ch,)))
+            scales.append(self.param(f"ln_scale{i}", nn.initializers.ones, (ch,)))
+            ln_biases.append(self.param(f"ln_bias{i}", nn.initializers.zeros, (ch,)))
+            prev = ch
+        params = SAParams(
+            tuple(kernels), tuple(biases), tuple(scales), tuple(ln_biases)
+        )
+        new_features = fused_set_abstraction(
+            xyz,
+            features,
+            inds,
+            params,
+            radius=self.radius,
+            window=self.window,
+            block=self.block,
+            compute_dtype=self.dtype,
+        )
+        return new_xyz, new_features, inds
+
+
 class FeaturePropagation(nn.Module):
     """FP layer: 3-NN inverse-square-distance interpolation + shared MLP.
 
@@ -143,6 +202,8 @@ class PointNetPPBackbone(nn.Module):
         (128, 128, 256),
     )
     fp_mlps: Sequence[Sequence[int]] = ((256, 256), (256, 288))
+    sa_impl: str = "fused"  # fused (TPU-native) | gather (reference-exact)
+    sa_windows: Sequence[int] = (2048, 4096, 4096, 4096)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,14 +214,24 @@ class PointNetPPBackbone(nn.Module):
 
         end_points = {}
         for i in range(4):
-            xyz, features, inds = SetAbstraction(
-                npoint=self.npoints[i],
-                radius=self.radii[i],
-                nsample=self.nsamples[i],
-                mlp_channels=self.mlps[i],
-                dtype=self.dtype,
-                name=f"sa{i + 1}",
-            )(xyz, features, train=train)
+            if self.sa_impl == "fused":
+                xyz, features, inds = FusedSetAbstraction(
+                    npoint=self.npoints[i],
+                    radius=self.radii[i],
+                    window=self.sa_windows[i],
+                    mlp_channels=self.mlps[i],
+                    dtype=self.dtype,
+                    name=f"sa{i + 1}",
+                )(xyz, features, train=train)
+            else:
+                xyz, features, inds = SetAbstraction(
+                    npoint=self.npoints[i],
+                    radius=self.radii[i],
+                    nsample=self.nsamples[i],
+                    mlp_channels=self.mlps[i],
+                    dtype=self.dtype,
+                    name=f"sa{i + 1}",
+                )(xyz, features, train=train)
             end_points[f"sa{i + 1}_xyz"] = xyz
             end_points[f"sa{i + 1}_features"] = features
             end_points[f"sa{i + 1}_inds"] = inds

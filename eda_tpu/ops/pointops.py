@@ -56,6 +56,15 @@ def _sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
+def furthest_point_sample_auto(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Backend dispatch: Pallas kernel on TPU, XLA loop elsewhere."""
+    if jax.default_backend() == "tpu":
+        from eda_tpu.ops.pallas.fps import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
+    return furthest_point_sample(xyz, npoint)
+
+
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """Iterative furthest point sampling.

@@ -1,0 +1,296 @@
+#!/usr/bin/env python
+"""Training/evaluation entry point.
+
+The public CLI mirrors the reference's flag surface (``main_utils.py:34-123``
++ ``train_dist_mod.py``) so the launch scripts translate 1:1:
+
+    python train.py --dataset scanrefer --test_dataset scanrefer \
+        --use_color --weight_decay 0.0005 --lr 2e-4 --lr_backbone 2e-3 \
+        --butd --joint_det --augment_det --lr_decay_epochs 50 75
+
+Differences from the reference runtime, by design:
+* no torch.distributed.launch — one process drives all local devices through
+  a jitted global-view step (multi-host via ``jax.distributed.initialize``);
+* ``--dataset synthetic`` trains on the built-in synthetic scenes so the full
+  pipeline runs without ScanNet on disk (the reference has no equivalent);
+* checkpoints are orbax directories, with auto-resume from ``--log_dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("EDA-TPU trainer")
+    # data
+    p.add_argument("--data_root", default="data/")
+    p.add_argument("--dataset", nargs="+", default=["synthetic"],
+                   help="scanrefer sr3d sr3d+ nr3d scannet synthetic")
+    p.add_argument("--test_dataset", default=None)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--num_points", type=int, default=50000)
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_height", action="store_true")
+    p.add_argument("--use_multiview", action="store_true")
+    p.add_argument("--no_augment", dest="augment", action="store_false")
+    p.add_argument("--augment_det", action="store_true")
+    p.add_argument("--detect_intermediate", action="store_true")
+    p.add_argument("--joint_det", action="store_true")
+    p.add_argument("--butd", action="store_true")
+    p.add_argument("--butd_gt", action="store_true")
+    p.add_argument("--butd_cls", action="store_true")
+    # model
+    p.add_argument("--num_queries", type=int, default=256)
+    p.add_argument("--num_decoder_layers", type=int, default=6)
+    p.add_argument("--self_position_embedding", default="loc_learned")
+    p.add_argument("--self_attend", action="store_true", default=True)
+    p.add_argument("--use_contrastive_align", action="store_true", default=True)
+    p.add_argument("--use_soft_token_loss", action="store_true", default=True)
+    p.add_argument("--sa_impl", default="fused", choices=["fused", "gather"])
+    p.add_argument("--use_bf16", action="store_true", default=True)
+    p.add_argument("--pp_checkpoint", default=None)
+    # loss
+    p.add_argument("--query_points_obj_topk", type=int, default=4)
+    # optimization
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr_backbone", type=float, default=2e-3)
+    p.add_argument("--text_encoder_lr", type=float, default=2e-5)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--max_epoch", type=int, default=100)
+    p.add_argument("--lr_decay_epochs", type=int, nargs="+", default=[50, 75])
+    p.add_argument("--lr_decay_rate", type=float, default=0.1)
+    p.add_argument("--lr-scheduler", dest="lr_scheduler", default="multistep")
+    p.add_argument("--warmup-epoch", dest="warmup_epoch", type=int, default=-1)
+    p.add_argument("--clip_norm", type=float, default=0.1)
+    # io
+    p.add_argument("--log_dir", default="logs/eda_tpu")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--save_freq", type=int, default=5)
+    p.add_argument("--val_freq", type=int, default=5)
+    p.add_argument("--print_freq", type=int, default=10)
+    # run mode
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=None, help="cap steps (smoke runs)")
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--cpu", action="store_true", help="force host CPU backend")
+    return p.parse_args(argv)
+
+
+def build_configs(args):
+    from eda_tpu.config import DataConfig, ModelConfig, TrainConfig
+
+    model = ModelConfig(
+        num_queries=args.num_queries,
+        num_decoder_layers=args.num_decoder_layers,
+        self_position_embedding=args.self_position_embedding,
+        self_attend=args.self_attend,
+        contrastive_align=args.use_contrastive_align,
+        butd=args.butd,
+        num_points=args.num_points,
+        sa_impl=args.sa_impl,
+        use_bf16=args.use_bf16,
+        input_feature_dim=3 if args.use_color else 0,
+    )
+    if args.debug and args.dataset == ["synthetic"]:
+        model = model.tiny()
+    train = TrainConfig(
+        batch_size=args.batch_size,
+        lr=args.lr,
+        lr_backbone=args.lr_backbone,
+        text_lr=args.text_encoder_lr,
+        weight_decay=args.weight_decay,
+        max_epoch=args.max_epoch,
+        lr_decay_epochs=tuple(args.lr_decay_epochs),
+        lr_decay_rate=args.lr_decay_rate,
+        lr_scheduler=args.lr_scheduler,
+        warmup_epoch=args.warmup_epoch,
+        clip_norm=args.clip_norm,
+        save_freq=args.save_freq,
+        val_freq=args.val_freq,
+        seed=args.seed,
+        checkpoint_dir=args.log_dir,
+    )
+    data = DataConfig(
+        datasets=tuple(args.dataset),
+        test_dataset=args.test_dataset or args.dataset[0],
+        data_root=args.data_root,
+        use_color=args.use_color,
+        use_height=args.use_height,
+        augment=args.augment,
+        augment_det=args.augment_det,
+        detect_intermediate=args.detect_intermediate,
+        joint_det=args.joint_det,
+        butd=args.butd,
+        butd_gt=args.butd_gt,
+        butd_cls=args.butd_cls,
+        debug=args.debug,
+    )
+    return model, train, data
+
+
+def make_loader(args, model_cfg, split: str):
+    """Dataset factory. Synthetic works everywhere; ScanNet datasets need
+    packed scans + annotation files under --data_root."""
+    from eda_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+
+    if args.dataset == ["synthetic"]:
+        gen = SyntheticScenes(
+            SyntheticConfig(
+                num_points=model_cfg.num_points,
+                num_objects=8,
+                text_len=64,
+                max_objects=model_cfg.max_detected_boxes,
+                seed=0 if split == "train" else 1,
+            ),
+            vocab_size=model_cfg.text_vocab_size,
+        )
+        n = 128 if args.debug else 4096
+        return gen, n
+    from eda_tpu.data.dataset import GroundingDataset  # real-data path
+
+    ds = GroundingDataset.from_args(args, split)
+    return ds, len(ds)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from eda_tpu.losses.criterion import SetCriterionConfig
+    from eda_tpu.models import EDAGrounder
+    from eda_tpu.parallel import make_mesh, shard_batch
+    from eda_tpu.train import TrainState, make_optimizer, make_train_step
+    from eda_tpu.train.checkpoint import CheckpointManager
+    from eda_tpu.utils.logger import setup_logger
+
+    model_cfg, train_cfg, data_cfg = build_configs(args)
+    os.makedirs(args.log_dir, exist_ok=True)
+    logger = setup_logger(args.log_dir)
+    logger.info("devices: %s", jax.devices())
+    with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+        json.dump(
+            {k: v for k, v in vars(args).items()}, f, indent=2, default=str
+        )
+
+    gen, n_train = make_loader(args, model_cfg, "train")
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    global_batch = max(args.batch_size, n_dev)
+    global_batch -= global_batch % n_dev
+    steps_per_epoch = args.steps_per_epoch or max(n_train // global_batch, 1)
+
+    model = EDAGrounder(model_cfg)
+    sample = jax.tree_util.tree_map(
+        jnp.asarray, gen.batch(range(global_batch), butd=model_cfg.butd)
+    )
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(train_cfg.seed), sample["inputs"], train=False)
+    )()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info("params: %.1fM", n_params / 1e6)
+
+    crit = SetCriterionConfig(
+        num_decoder_layers=model_cfg.num_decoder_layers,
+        query_points_obj_topk=args.query_points_obj_topk,
+        dataset=args.dataset[0] if args.dataset[0] != "synthetic" else "scanrefer",
+        use_contrastive_align=model_cfg.contrastive_align,
+    )
+    tx = make_optimizer(train_cfg, variables["params"], steps_per_epoch)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    ckpt = CheckpointManager(
+        os.path.join(args.log_dir, "ckpt"), save_freq=args.save_freq
+    )
+    if args.checkpoint_path:
+        mgr = CheckpointManager(args.checkpoint_path, save_freq=args.save_freq)
+        state, start_epoch = mgr.restore(state, restore_optimizer=not args.eval)
+    else:
+        state, start_epoch = ckpt.restore(state)
+    if start_epoch:
+        logger.info("resumed from epoch %d", start_epoch)
+
+    step_fn = make_train_step(model, crit, donate=False)
+    rng = jax.random.key(train_cfg.seed)
+    order_rng = np.random.default_rng(train_cfg.seed)
+
+    total_steps = 0
+    for epoch in range(start_epoch, args.max_epoch):
+        t_ep = time.time()
+        order = order_rng.permutation(n_train)
+        losses = []
+        for it in range(steps_per_epoch):
+            idx = order[(it * global_batch) % n_train:][:global_batch]
+            if len(idx) < global_batch:
+                idx = np.concatenate([idx, order[: global_batch - len(idx)]])
+            batch = jax.tree_util.tree_map(
+                jnp.asarray, gen.batch(idx, butd=model_cfg.butd)
+            )
+            batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch, rng)
+            total_steps += 1
+            if it % args.print_freq == 0:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                logger.info(
+                    "epoch %d step %d/%d loss %.4f (kps %.3f ce %.3f bbox %.3f giou %.3f sem %.3f)",
+                    epoch, it, steps_per_epoch, loss,
+                    float(metrics["query_points_generation_loss"]),
+                    float(metrics["loss_ce"]), float(metrics["loss_bbox"]),
+                    float(metrics["loss_giou"]), float(metrics["loss_sem_align"]),
+                )
+            if args.max_steps and total_steps >= args.max_steps:
+                logger.info("max_steps reached")
+                ckpt.save(epoch, state, force=True)
+                return 0
+        logger.info(
+            "epoch %d done in %.1fs (mean loss %.4f)",
+            epoch, time.time() - t_ep, np.mean(losses) if losses else float("nan"),
+        )
+        ckpt.save(epoch, state)
+
+        if (epoch + 1) % args.val_freq == 0 or epoch == args.max_epoch - 1:
+            evaluate(args, model, crit, state, model_cfg, logger)
+
+    ckpt.save(args.max_epoch - 1, state, force=True)
+    return 0
+
+
+def evaluate(args, model, crit, state, model_cfg, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from eda_tpu.eval import GroundingEvaluator
+    from eda_tpu.train import make_eval_step
+
+    gen, n_val = make_loader(args, model_cfg, "val")
+    n_val = min(n_val, 256)
+    eval_fn = make_eval_step(model)
+    evaluator = GroundingEvaluator(prefixes=("last_", "proposal_"))
+    bsz = max(args.batch_size, 1)
+    for start in range(0, n_val - bsz + 1, bsz):
+        batch = jax.tree_util.tree_map(
+            jnp.asarray,
+            gen.batch(range(start, start + bsz), butd=model_cfg.butd),
+        )
+        end_points, _ = eval_fn(state.params, state.batch_stats, batch)
+        evaluator.evaluate(end_points, batch["targets"])
+    logger.info("\n%s", evaluator.print_stats())
+    return evaluator
+
+
+if __name__ == "__main__":
+    sys.exit(main())
