@@ -42,7 +42,12 @@ class ModelConfig:
     # fused = TPU-native index-free SA (ops/fused_sa.py); gather = exact
     # reference semantics (ball query + neighbor gather + BN).
     sa_impl: str = "fused"
-    sa_windows: Sequence[int] = (2048, 1024, 1024, 512)
+    # SA1 windowed (2048 of 50k, Morton coverage ~88%); SA2-4 dense
+    # (window >= layer N -> exact, no device sort).
+    sa_windows: Sequence[int] = (2048, 2048, 1024, 512)
+    # input pipeline Morton-sorts clouds on host; SA1 then needs no device
+    # sort (data/presort.py)
+    points_presorted: bool = True
     num_points: int = 50000
     # Text encoder (RoBERTa-base geometry by default)
     text_vocab_size: int = 50265
@@ -59,7 +64,7 @@ class ModelConfig:
         return dataclasses.replace(
             self,
             num_points=1024,
-            sa_windows=(256, 128, 64, 64),
+            sa_windows=(256, 256, 128, 64),  # SA1 windowed, SA2-4 dense
             sa_npoints=(256, 128, 64, 32),
             sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
             fp_mlps=((64, 64), (64, 96)),

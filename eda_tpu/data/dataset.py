@@ -1,0 +1,246 @@
+"""GroundingDataset: real-data examples in the model's fixed-shape format.
+
+Host-side equivalent of ``Joint3DDataset.__getitem__``
+(``src/joint_det_dataset.py:856-1041``): combines a packed scan store with
+annotation records, applies augmentation, builds decoupled positive maps, and
+emits {"inputs", "targets", "hardness"} dicts ready for the jitted step.
+
+The reference emits ~30 ragged-ish keys; here the contract is exactly the
+arrays the model and criterion consume (same semantics, fixed shapes):
+
+inputs:  point_clouds (N, 3+C), text_ids (L,), text_mask (L,),
+         [det_boxes (D, 6), det_class_ids (D,), det_mask (D,)]
+targets: center_label/size_gts (G, 3), box_label_mask (G,),
+         {positive,modify_positive,pron_positive,other_entity,rel_positive}
+         _map (G, 256), point_instance_label (N,), text_lengths ()
+hardness: is_view_dep / is_hard / is_unique flags
+         (``joint_det_dataset.py:1031-1033``)
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from eda_tpu.data import annotations as anno_lib
+from eda_tpu.data.augment import MEAN_RGB, augment_scene, is_view_dependent
+from eda_tpu.data.class_config import instance_label_to_class18
+from eda_tpu.data.positive_maps import MAX_TOKENS, build_positive_maps, not_mentioned_suffix
+from eda_tpu.data.scannet import Scan, load_packed_scans
+from eda_tpu.models.tokenizer import make_tokenizer
+
+MAX_NUM_OBJ = 132  # joint_det_dataset.py:45
+
+
+class GroundingDataset:
+    """Scan + annotation dataset producing fixed-shape training examples."""
+
+    def __init__(
+        self,
+        scans: Dict[str, Scan],
+        annos: List[dict],
+        *,
+        split: str = "train",
+        use_color: bool = True,
+        augment: bool = True,
+        detect_intermediate: bool = True,
+        butd: bool = False,
+        butd_gt: bool = False,
+        butd_cls: bool = False,
+        text_len: int = 64,
+        tokenizer=None,
+        vocab_size: int = 50265,
+        seed: int = 0,
+    ):
+        self.scans = scans
+        self.annos = [a for a in annos if a["scan_id"] in scans]
+        self.split = split
+        self.use_color = use_color
+        self.augment = augment and split == "train"
+        self.detect_intermediate = detect_intermediate
+        self.butd = butd or butd_gt or butd_cls
+        self.butd_gt = butd_gt
+        self.butd_cls = butd_cls
+        self.text_len = text_len
+        self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
+        self.seed = seed
+        anno_lib.compute_scanrefer_flags(
+            self.annos, self.scans, instance_label_to_class18
+        )
+
+    @classmethod
+    def from_args(cls, args, split: str) -> "GroundingDataset":
+        """Build from the train.py CLI namespace (reference flag surface)."""
+        scans_path = osp.join(args.data_root, f"{split}_v3scans.pkl")
+        scans = load_packed_scans(scans_path)
+        annos: List[dict] = []
+        for name in args.dataset:
+            if name == "synthetic":
+                continue
+            annos.extend(
+                anno_lib.load_annotations(
+                    name, args.data_root, split, debug=args.debug
+                )
+            )
+        return cls(
+            scans,
+            annos,
+            split=split,
+            use_color=args.use_color,
+            augment=getattr(args, "augment", True),
+            detect_intermediate=args.detect_intermediate,
+            butd=args.butd,
+            butd_gt=args.butd_gt,
+            butd_cls=args.butd_cls,
+        )
+
+    def __len__(self) -> int:
+        return len(self.annos)
+
+    def example(self, idx: int, butd: Optional[bool] = None) -> dict:
+        butd = self.butd if butd is None else butd
+        anno = self.annos[idx]
+        scan = self.scans[anno["scan_id"]]
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + idx) % (2**31)
+        )
+
+        xyz = scan.pc.copy()
+        color = scan.color - MEAN_RGB if self.use_color else None
+
+        # target (+ first anchor with detect_intermediate,
+        # joint_det_dataset.py:688-697)
+        tids = [anno["target_id"]]
+        if (
+            self.detect_intermediate
+            and anno.get("anchor_ids")
+            and anno.get("decoupled", {}).get("auxi")
+        ):
+            tids.append(anno["anchor_ids"][0])
+        obj_idxs = [scan.object_by_id(t) for t in tids]
+        obj_idxs = [o for o in obj_idxs if o is not None]
+
+        point_instance = -np.ones(len(xyz), np.int32)
+        for slot, o in enumerate(obj_idxs):
+            point_instance[scan.three_d_objects[o]["points"]] = slot
+
+        # scene objects (all kept): boxes + 18-way classes
+        scene_objs = list(range(min(len(scan.three_d_objects), MAX_NUM_OBJ)))
+        scene_boxes = np.stack(
+            [scan.get_object_bbox(o) for o in scene_objs]
+        ) if scene_objs else np.zeros((0, 6), np.float32)
+        scene_classes = np.array(
+            [
+                instance_label_to_class18(scan.three_d_objects[o]["instance_label"])
+                for o in scene_objs
+            ],
+            np.int32,
+        )
+
+        gt_boxes = np.stack([scan.get_object_bbox(o) for o in obj_idxs])
+
+        if self.augment:
+            rotate = not is_view_dependent(anno["utterance"])
+            all_boxes = np.concatenate([gt_boxes, scene_boxes], 0)
+            xyz, color, all_boxes = augment_scene(rng, xyz, color, all_boxes, rotate)
+            gt_boxes = all_boxes[: len(obj_idxs)]
+            scene_boxes = all_boxes[len(obj_idxs):]
+            # box jitter (joint_det_dataset.py:709-710)
+            gt_boxes = gt_boxes * (0.95 + 0.1 * rng.random(gt_boxes.shape))
+
+        # text
+        caption = not_mentioned_suffix(anno["utterance"])
+        tok = self.tokenizer.encode_batch([caption], max_len=self.text_len)
+        maps = build_positive_maps(tok, 0, anno["decoupled"])
+
+        G = MAX_NUM_OBJ
+        center_label = np.zeros((G, 3), np.float32)
+        size_gts = np.zeros((G, 3), np.float32)
+        box_label_mask = np.zeros((G,), np.float32)
+        n_t = len(obj_idxs)
+        center_label[:n_t] = gt_boxes[:, :3]
+        center_label[n_t:] = 1000.0  # joint_det_dataset.py:711
+        size_gts[:n_t] = gt_boxes[:, 3:]
+        box_label_mask[:n_t] = 1.0
+
+        def tile(key, row=0):
+            out = np.zeros((G, MAX_TOKENS), np.float32)
+            out[row] = maps[key]
+            return out
+
+        positive_map = tile("main")
+        if n_t > 1:
+            # anchors share the main map in detect_intermediate mode unless
+            # an auxi span exists (SR3D puts the auxi map in row 1,
+            # joint_det_dataset.py:676-677)
+            aux = maps["auxi"] if maps["auxi"].sum() > 0 else maps["main"]
+            positive_map[1] = aux
+
+        # Morton presort after augmentation so the fused SA layer consumes
+        # spatially sorted clouds without a device-side sort.
+        from eda_tpu.data.presort import morton_sort
+
+        if color is not None:
+            xyz, color, point_instance = morton_sort(xyz, color, point_instance)
+        else:
+            xyz, point_instance = morton_sort(xyz, point_instance)
+
+        pc = xyz.astype(np.float32)
+        if color is not None:
+            pc = np.concatenate([pc, color.astype(np.float32)], -1)
+
+        inputs = {
+            "point_clouds": pc,
+            "text_ids": tok.input_ids[0],
+            "text_mask": tok.attention_mask[0],
+        }
+        if butd:
+            det_boxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
+            det_mask = np.zeros((MAX_NUM_OBJ,), bool)
+            det_cls = np.zeros((MAX_NUM_OBJ,), np.int32)
+            n = len(scene_objs)
+            # butd_gt / butd_cls oracle substitution
+            # (joint_det_dataset.py:951-963); plain butd requires GroupFree
+            # detections on disk, otherwise falls back to scene boxes.
+            det_boxes[:n] = scene_boxes
+            det_mask[:n] = True
+            det_cls[:n] = scene_classes
+            inputs["det_boxes"] = det_boxes
+            inputs["det_class_ids"] = det_cls
+            inputs["det_mask"] = det_mask
+
+        targets = {
+            "center_label": center_label,
+            "size_gts": size_gts,
+            "box_label_mask": box_label_mask,
+            "positive_map": positive_map,
+            "modify_positive_map": tile("modifiers"),
+            "pron_positive_map": tile("pronouns"),
+            "other_entity_map": tile("others"),
+            "rel_positive_map": tile("relations"),
+            "point_instance_label": point_instance,
+            "text_lengths": np.int32(tok.lengths[0]),
+        }
+        hardness = {
+            "is_view_dep": is_view_dependent(anno["utterance"]),
+            "is_hard": len(anno.get("distractor_ids", [])) > 1,
+            "is_unique": len(anno.get("distractor_ids", [])) == 0,
+        }
+        return {"inputs": inputs, "targets": targets, "hardness": hardness}
+
+    def batch(self, indices, butd: Optional[bool] = None) -> dict:
+        examples = [self.example(int(i), butd) for i in indices]
+
+        def stack(key):
+            return {
+                k: np.stack([np.asarray(e[key][k]) for e in examples])
+                for k in examples[0][key]
+            }
+
+        return {
+            "inputs": stack("inputs"),
+            "targets": stack("targets"),
+            "hardness": stack("hardness"),
+        }

@@ -82,6 +82,11 @@ class SyntheticScenes:
         instance = np.concatenate(inst)
         perm = rng.permutation(cfg.num_points)
         xyz, instance = xyz[perm], instance[perm]
+        # Morton presort (data/presort.py): the fused SA layer consumes
+        # spatially sorted clouds without a device-side sort.
+        from eda_tpu.data.presort import morton_sort
+
+        xyz, instance = morton_sort(xyz, instance)
 
         # colors as per-point features, color-coded by object color id
         rgb = np.zeros((cfg.num_points, 3), np.float32)

@@ -63,6 +63,7 @@ class EDAGrounder(nn.Module):
             fp_mlps=tuple(tuple(m) for m in cfg.fp_mlps),
             sa_impl=cfg.sa_impl,
             sa_windows=tuple(cfg.sa_windows),
+            points_presorted=cfg.points_presorted,
             dtype=dtype,
             name="backbone_net",
         )(inputs["point_clouds"], train=train)

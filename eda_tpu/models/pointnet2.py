@@ -110,6 +110,7 @@ class FusedSetAbstraction(nn.Module):
     window: int
     mlp_channels: Sequence[int]
     block: int = 64
+    presorted: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -149,6 +150,7 @@ class FusedSetAbstraction(nn.Module):
             window=self.window,
             block=self.block,
             compute_dtype=self.dtype,
+            presorted=self.presorted,
         )
         return new_xyz, new_features, inds
 
@@ -204,6 +206,7 @@ class PointNetPPBackbone(nn.Module):
     fp_mlps: Sequence[Sequence[int]] = ((256, 256), (256, 288))
     sa_impl: str = "fused"  # fused (TPU-native) | gather (reference-exact)
     sa_windows: Sequence[int] = (2048, 4096, 4096, 4096)
+    points_presorted: bool = False  # input pipeline Morton-sorts the cloud
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -220,6 +223,7 @@ class PointNetPPBackbone(nn.Module):
                     radius=self.radii[i],
                     window=self.sa_windows[i],
                     mlp_channels=self.mlps[i],
+                    presorted=(i == 0 and self.points_presorted),
                     dtype=self.dtype,
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)

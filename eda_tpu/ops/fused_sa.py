@@ -96,7 +96,8 @@ def _act_ln(x, scale, bias):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "window", "block", "compute_dtype")
+    jax.jit,
+    static_argnames=("radius", "window", "block", "compute_dtype", "presorted"),
 )
 def fused_set_abstraction(
     xyz: jnp.ndarray,
@@ -108,6 +109,7 @@ def fused_set_abstraction(
     window: int,
     block: int = 64,
     compute_dtype=jnp.bfloat16,
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Fused SA forward.
 
@@ -118,6 +120,10 @@ def fused_set_abstraction(
         params: SAParams.
         radius: ball radius; window: spatial window length (>= N => exact
         dense); block: centers per block.
+        presorted: points already arrive in Morton order (the input pipeline
+            sorts on host — device-side multi-operand sorts are expensive to
+            compile and execute). Then center indices ARE ranks and no sort
+            happens on device.
 
     Returns:
         (B, M, C_out) float32 pooled features, aligned with center_idx order.
@@ -134,6 +140,17 @@ def fused_set_abstraction(
         ranks = center_idx  # any order; windows cover everything
         center_order = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
         window = N
+    elif presorted:
+        sxyz, sfeats = xyz, features
+        # FPS over a sorted cloud returns sorted-domain indices == ranks.
+        ranks, center_order = jax.lax.sort(
+            [
+                center_idx,
+                jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M)),
+            ],
+            dimension=1,
+            num_keys=1,
+        )
     else:
         keys = morton_keys(xyz, radius)
         iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# SR3D training (reference scripts/train_sr3d.sh: lr 1e-4 / 1e-3, decay 30 40,
+# --butd_cls oracle proposals).
+python train.py \
+    --use_color \
+    --weight_decay 0.0005 \
+    --data_root "${DATA_ROOT:-data/}" \
+    --dataset sr3d --test_dataset sr3d \
+    --lr_decay_epochs 30 40 \
+    --detect_intermediate --joint_det \
+    --use_soft_token_loss --use_contrastive_align \
+    --self_attend --butd_cls \
+    --lr 1e-4 --lr_backbone 1e-3 \
+    --batch_size 12 \
+    --log_dir "${LOG_DIR:-logs/sr3d}" \
+    "$@"
