@@ -79,6 +79,46 @@ def parse_predictions(
     return results
 
 
+def parse_predictions_from_probs(
+    pred_center: np.ndarray,
+    pred_size: np.ndarray,
+    cls_probs: np.ndarray,
+    obj_prob: np.ndarray,
+    *,
+    nms_iou: float = 0.25,
+    conf_thresh: float = 0.0,
+    per_class_proposal: bool = True,
+) -> List[List[Tuple[int, np.ndarray, float]]]:
+    """Like ``parse_predictions`` but with precomputed class/objectness probs.
+
+    Used by the scannet detection-eval branch, where the soft-token scores
+    are first projected onto class-name token spans
+    (``train_dist_mod.py:248-279``).
+    """
+    B, Q, _ = cls_probs.shape
+    pred_cls = cls_probs.argmax(-1)
+    corners = _center_size_to_corners(
+        np.concatenate([pred_center, np.abs(pred_size)], -1)
+    )
+    results: List[List[Tuple[int, np.ndarray, float]]] = []
+    for b in range(B):
+        keep = nms_3d(corners[b], obj_prob[b], nms_iou, classes=pred_cls[b])
+        dets: List[Tuple[int, np.ndarray, float]] = []
+        if per_class_proposal:
+            for c in range(cls_probs.shape[-1]):
+                for j in keep:
+                    score = cls_probs[b, j, c] * obj_prob[b, j]
+                    if score > conf_thresh:
+                        dets.append((c, corners[b, j], float(score)))
+        else:
+            for j in keep:
+                score = obj_prob[b, j]
+                if score > conf_thresh:
+                    dets.append((int(pred_cls[b, j]), corners[b, j], float(score)))
+        results.append(dets)
+    return results
+
+
 def parse_groundtruths(
     gt_boxes: np.ndarray, gt_classes: np.ndarray, gt_mask: np.ndarray
 ) -> List[List[Tuple[int, np.ndarray]]]:

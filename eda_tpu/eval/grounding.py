@@ -73,16 +73,20 @@ def _score_and_iou(end_points: dict, targets: dict, *, prefix: str, mode: str, t
         # box (grounding_evaluator.py:166-175)
         scores = scores * targets["detected_filter"]
 
-    _, top = jax.lax.top_k(scores, topk)  # (B, topk)
-    boxes = jnp.take_along_axis(pred_bbox, top[..., None], axis=1)  # (B, topk, 6)
+    k = min(topk, scores.shape[-1])
+    _, top = jax.lax.top_k(scores, k)  # (B, k)
+    boxes = jnp.take_along_axis(pred_bbox, top[..., None], axis=1)  # (B, k, 6)
 
     gt_root = jnp.concatenate(
         [targets["center_label"][:, :1, :], targets["size_gts"][:, :1, :]], -1
     )  # (B, 1, 6)
     ious, _ = pairwise_box_iou_3d(
         box_cxcyczwhd_to_xyzxyz(gt_root), box_cxcyczwhd_to_xyzxyz(boxes)
-    )  # (B, 1, topk)
-    return ious[:, 0, :]
+    )  # (B, 1, k)
+    ious = ious[:, 0, :]
+    if k < topk:  # fewer queries than ranks: pad as misses
+        ious = jnp.pad(ious, ((0, 0), (0, topk - k)))
+    return ious
 
 
 class GroundingEvaluator:

@@ -202,6 +202,24 @@ def fused_set_abstraction(
     kers = [k.astype(compute_dtype) for k in params.kernels[1:]]
     bias = [b.astype(compute_dtype) for b in params.biases[1:]]
 
+    # Rematerialized per-block compute: without checkpointing, autodiff of
+    # the scan stores every block's (B, cm, W, C) pair tensors as residuals
+    # (tens of GB at SA1 sizes); with it, backward recomputes each block.
+    @jax.checkpoint
+    def block_compute(a_win, xyz_win, bc_blk, cen_blk, ln_params):
+        scales, lbiases = ln_params
+        h = _act_ln(
+            a_win[:, None, :, :] + bc_blk[:, :, None, :], scales[0], lbiases[0]
+        ).astype(compute_dtype)  # (B, cm, W, c1)
+        for i, (k, b) in enumerate(zip(kers, bias)):
+            h = h @ k + b
+            h = _act_ln(h, scales[i + 1], lbiases[i + 1]).astype(compute_dtype)
+        d2 = jnp.sum(
+            (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
+        )  # (B, cm, W)
+        masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
+        return jnp.max(masked, axis=2)  # (B, cm, c_out)
+
     def block_fn(_, bi):
         mid = jax.lax.dynamic_slice_in_dim(ranks, bi * block + block // 2, 1, 1)
         start = jnp.clip(mid[:, 0] - W // 2, 0, N - W)  # (B,)
@@ -215,22 +233,11 @@ def fused_set_abstraction(
         )(sxyz, start)  # (B, W, 3)
         bc_blk = jax.lax.dynamic_slice_in_dim(b_c, bi * block, block, 1)
         cen_blk = jax.lax.dynamic_slice_in_dim(cen_xyz, bi * block, block, 1)
-
-        h = _act_ln(
-            a_win[:, None, :, :] + bc_blk[:, :, None, :],
-            params.ln_scales[0],
-            params.ln_biases[0],
-        ).astype(compute_dtype)  # (B, cm, W, c1)
-        for i, (k, b) in enumerate(zip(kers, bias)):
-            h = (h @ k + b)
-            h = _act_ln(h, params.ln_scales[i + 1], params.ln_biases[i + 1]).astype(
-                compute_dtype
-            )
-        d2 = jnp.sum(
-            (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
-        )  # (B, cm, W)
-        masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
-        return _, jnp.max(masked, axis=2)  # (B, cm, c_out)
+        out = block_compute(
+            a_win, xyz_win, bc_blk, cen_blk,
+            (params.ln_scales, params.ln_biases),
+        )
+        return _, out
 
     _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
     outs = jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)[:, :M]

@@ -1,0 +1,160 @@
+"""Evaluator tests: grounding accuracy accounting, NMS, detection AP."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eda_tpu.eval import GroundingEvaluator
+from eda_tpu.eval.detection import (
+    APCalculator,
+    parse_groundtruths,
+    parse_predictions,
+    voc_ap,
+)
+from eda_tpu.eval.nms import nms_3d
+
+B, Q, C, L, G = 2, 8, 16, 16, 4
+
+
+def make_eval_case(rng, perfect=True):
+    """Fabricate end_points where the highest-scoring query box either hits
+    (perfect) or misses the GT box."""
+    gt_center = rng.uniform(-1, 1, (B, G, 3)).astype(np.float32)
+    gt_size = rng.uniform(0.4, 0.8, (B, G, 3)).astype(np.float32)
+
+    centers = rng.uniform(5, 6, (B, Q, 3)).astype(np.float32)  # all far away
+    sizes = rng.uniform(0.4, 0.8, (B, Q, 3)).astype(np.float32)
+    sem = np.full((B, Q, C), -5.0, np.float32)
+    pm = np.zeros((B, G, 256), np.float32)
+    pm[:, :, 2] = 1.0  # main token at position 2
+    if perfect:
+        # query 3 matches GT 0 exactly and scores highest on token 2
+        centers[:, 3] = gt_center[:, 0]
+        sizes[:, 3] = gt_size[:, 0]
+        sem[:, 3, 2] = 10.0
+
+    proj_tokens = rng.normal(size=(B, L, 8)).astype(np.float32)
+    proj_tokens /= np.linalg.norm(proj_tokens, axis=-1, keepdims=True)
+    proj_queries = rng.normal(size=(B, Q, 8)).astype(np.float32)
+    proj_queries /= np.linalg.norm(proj_queries, axis=-1, keepdims=True)
+    if perfect:
+        proj_queries[:, 3] = proj_tokens[:, 2]  # aligned with token 2
+
+    end_points = {
+        "last_center": jnp.asarray(centers),
+        "last_pred_size": jnp.asarray(sizes),
+        "last_sem_cls_scores": jnp.asarray(sem),
+        "last_proj_queries": jnp.asarray(proj_queries),
+        "proj_tokens": jnp.asarray(proj_tokens),
+    }
+    targets = {
+        "center_label": jnp.asarray(gt_center),
+        "size_gts": jnp.asarray(gt_size),
+        "box_label_mask": jnp.asarray(np.ones((B, G), np.float32)),
+        "positive_map": jnp.asarray(pm),
+        "modify_positive_map": jnp.zeros((B, G, 256)),
+        "pron_positive_map": jnp.zeros((B, G, 256)),
+        "other_entity_map": jnp.zeros((B, G, 256)),
+        "rel_positive_map": jnp.zeros((B, G, 256)),
+    }
+    return end_points, targets
+
+
+def test_grounding_evaluator_perfect_predictions(rng):
+    end_points, targets = make_eval_case(rng, perfect=True)
+    ev = GroundingEvaluator(prefixes=("last_",))
+    hardness = {
+        "is_view_dep": np.array([True, False]),
+        "is_hard": np.zeros(B, bool),
+        "is_unique": np.ones(B, bool),
+    }
+    ev.evaluate(end_points, targets, hardness)
+    assert ev.accuracy("last_", 0.25, 1, "bbs") == 1.0
+    assert ev.accuracy("last_", 0.5, 1, "bbs") == 1.0
+    assert ev.accuracy("last_", 0.25, 1, "bbf") == 1.0
+    # breakdowns counted on bbf last_ top-1
+    assert ev.gts["vd"] == 1 and ev.gts["vid"] == 1
+    assert ev.dets["vd"] == 1 and ev.dets["vid"] == 1
+    assert ev.dets["unique"] == 2
+
+
+def test_grounding_evaluator_bad_predictions(rng):
+    end_points, targets = make_eval_case(rng, perfect=False)
+    ev = GroundingEvaluator(prefixes=("last_",))
+    ev.evaluate(end_points, targets)
+    assert ev.accuracy("last_", 0.25, 1, "bbs") == 0.0
+    assert ev.accuracy("last_", 0.25, 10, "bbs") == 0.0
+
+
+def test_grounding_evaluator_merge(rng):
+    e1, t1 = make_eval_case(rng, perfect=True)
+    ev1 = GroundingEvaluator(prefixes=("last_",))
+    ev1.evaluate(e1, t1)
+    ev2 = GroundingEvaluator(prefixes=("last_",))
+    ev2.evaluate(e1, t1)
+    ev1.merge(ev2)
+    assert ev1.gts[("last_", 0.25, 1, "bbs")] == 2 * B
+    assert ev1.accuracy("last_", 0.25, 1, "bbs") == 1.0
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array(
+        [
+            [0, 0, 0, 1, 1, 1],
+            [0.05, 0.05, 0.05, 1.05, 1.05, 1.05],  # overlaps box 0
+            [5, 5, 5, 6, 6, 6],
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms_3d(boxes, scores, 0.5)
+    assert set(keep.tolist()) == {0, 2}
+
+    # class-aware: overlapping boxes of different classes both survive
+    keep = nms_3d(boxes, scores, 0.5, classes=np.array([0, 1, 0]))
+    assert set(keep.tolist()) == {0, 1, 2}
+
+
+def test_voc_ap_perfect_and_zero():
+    assert voc_ap(np.array([1.0]), np.array([1.0])) == pytest.approx(1.0)
+    assert voc_ap(np.array([0.5]), np.array([1.0])) == pytest.approx(0.5)
+
+
+def test_ap_calculator_perfect_detection(rng):
+    gt_boxes = rng.uniform(0, 1, (1, 3, 6)).astype(np.float32)
+    gt_boxes[..., 3:] += 0.3
+    gt_classes = np.array([[0, 1, 2]])
+    gt_mask = np.ones((1, 3), bool)
+
+    centers = gt_boxes[..., :3]
+    sizes = gt_boxes[..., 3:]
+    # logits: one-hot per GT class + low 'not mentioned' last column
+    sem = np.full((1, 3, 5), -10.0, np.float32)
+    for i in range(3):
+        sem[0, i, gt_classes[0, i]] = 10.0
+
+    preds = parse_predictions(centers, sizes, sem, nms_iou=0.25, num_classes=4)
+    gts = parse_groundtruths(gt_boxes, gt_classes, gt_mask)
+    calc = APCalculator(iou_thresh=0.25)
+    calc.step(preds, gts)
+    metrics = calc.compute_metrics()
+    assert metrics["mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert metrics["recall_0"] == 1.0
+
+
+def test_ap_calculator_false_positives(rng):
+    gt_boxes = np.array([[[0, 0, 0, 1, 1, 1.0]]], np.float32)
+    gt_classes = np.array([[0]])
+    gt_mask = np.ones((1, 1), bool)
+    # two predictions of class 0: one perfect, one far off with lower score
+    centers = np.array([[[0, 0, 0], [5, 5, 5.0]]], np.float32)
+    sizes = np.ones((1, 2, 3), np.float32)
+    sem = np.full((1, 2, 3), -10.0, np.float32)
+    sem[0, :, 0] = [10.0, 8.0]
+    preds = parse_predictions(centers, sizes, sem, nms_iou=0.25, num_classes=2)
+    gts = parse_groundtruths(gt_boxes, gt_classes, gt_mask)
+    calc = APCalculator(0.25)
+    calc.step(preds, gts)
+    m = calc.compute_metrics()
+    # AP = 1.0: the true positive ranks first
+    assert m["ap_0"] == pytest.approx(1.0, abs=1e-6)
