@@ -34,6 +34,22 @@ from eda_tpu.models.tokenizer import make_tokenizer
 MAX_NUM_OBJ = 132  # joint_det_dataset.py:45
 
 
+def _corrupt_detections(rng, boxes: np.ndarray, classes: np.ndarray):
+    """--augment_det box corruption: with p=0.3 a detected box is replaced by
+    a random box in the scene extent and a random class
+    (``joint_det_dataset.py:837-849``)."""
+    if not len(boxes):
+        return boxes, classes
+    lo, hi = boxes.min(0), boxes.max(0)
+    rand_box = (hi - lo)[None] * rng.random(boxes.shape) + lo
+    corrupt = rng.random(len(boxes)) > 0.7
+    out_boxes = np.where(corrupt[:, None], rand_box, boxes)
+    out_classes = np.where(
+        corrupt, rng.integers(0, 18, len(classes)), classes
+    ).astype(classes.dtype)
+    return out_boxes, out_classes
+
+
 class GroundingDataset:
     """Scan + annotation dataset producing fixed-shape training examples."""
 
@@ -53,6 +69,8 @@ class GroundingDataset:
         tokenizer=None,
         vocab_size: int = 50265,
         seed: int = 0,
+        augment_det: bool = False,
+        detected_dir: str = None,
     ):
         self.scans = scans
         self.annos = [a for a in annos if a["scan_id"] in scans]
@@ -63,6 +81,8 @@ class GroundingDataset:
         self.butd = butd or butd_gt or butd_cls
         self.butd_gt = butd_gt
         self.butd_cls = butd_cls
+        self.augment_det = augment_det
+        self.detected_dir = detected_dir
         self.text_len = text_len
         self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
         self.seed = seed
@@ -94,10 +114,35 @@ class GroundingDataset:
             butd=args.butd,
             butd_gt=args.butd_gt,
             butd_cls=args.butd_cls,
+            augment_det=getattr(args, "augment_det", False),
+            detected_dir=osp.join(args.data_root, "group_free_pred_bboxes"),
         )
 
     def __len__(self) -> int:
         return len(self.annos)
+
+    def _load_detected(self, scan_id: str):
+        """GroupFree per-scan detections (``joint_det_dataset.py:785-824``):
+        ``group_free_pred_bboxes_{split}/{scan_id}.npy`` holding a dict with
+        'box' (xyzxyz), 'class' (raw labels), 'logits'. Returns
+        (cxcyczwhd boxes, 18-way class ids) or None when absent."""
+        path = osp.join(
+            self.detected_dir or "",
+            f"group_free_pred_bboxes_{self.split}",
+            f"{scan_id}.npy",
+        )
+        if not self.detected_dir or not osp.exists(path):
+            return None
+        d = np.load(path, allow_pickle=True).item()
+        corners = np.asarray(d["box"], np.float32)
+        boxes = np.concatenate(
+            [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
+            1,
+        )
+        classes = np.array(
+            [instance_label_to_class18(str(c)) for c in d["class"]], np.int32
+        )
+        return boxes, classes
 
     def example(self, idx: int, butd: Optional[bool] = None) -> dict:
         butd = self.butd if butd is None else butd
@@ -200,13 +245,25 @@ class GroundingDataset:
             det_boxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
             det_mask = np.zeros((MAX_NUM_OBJ,), bool)
             det_cls = np.zeros((MAX_NUM_OBJ,), np.int32)
-            n = len(scene_objs)
-            # butd_gt / butd_cls oracle substitution
-            # (joint_det_dataset.py:951-963); plain butd requires GroupFree
-            # detections on disk, otherwise falls back to scene boxes.
-            det_boxes[:n] = scene_boxes
-            det_mask[:n] = True
-            det_cls[:n] = scene_classes
+            detected = None
+            if not (self.butd_gt or self.butd_cls):
+                detected = self._load_detected(anno["scan_id"])
+            if detected is not None:
+                boxes, classes = detected
+                if self.augment_det and self.augment:
+                    boxes, classes = _corrupt_detections(rng, boxes, classes)
+                n = min(len(boxes), MAX_NUM_OBJ)
+                det_boxes[:n] = boxes[:n]
+                det_mask[:n] = True
+                det_cls[:n] = classes[:n]
+            else:
+                # butd_gt / butd_cls oracle substitution
+                # (joint_det_dataset.py:951-963); plain butd without
+                # GroupFree detections on disk falls back to scene boxes.
+                n = len(scene_objs)
+                det_boxes[:n] = scene_boxes
+                det_mask[:n] = True
+                det_cls[:n] = scene_classes
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask

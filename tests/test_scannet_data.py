@@ -165,3 +165,40 @@ def test_grounding_dataset_butd_boxes(fake_scan_dir):
     ex = ds.example(0)
     assert ex["inputs"]["det_mask"].sum() == 2  # both scene objects
     assert ex["inputs"]["det_boxes"].shape == (132, 6)
+
+
+def test_groupfree_detected_boxes(fake_scan_dir, tmp_path, rng):
+    """GroupFree .npy detections load, convert, and feed the butd stream."""
+    scan_dir, scan_id = fake_scan_dir
+    scan = Scan(scan_id, scan_dir)
+    det_dir = tmp_path / "group_free_pred_bboxes" / "group_free_pred_bboxes_val"
+    det_dir.mkdir(parents=True)
+    corners = np.array(
+        [[0, 0, 0, 1, 1, 1], [1, 1, 1, 2, 2, 2.0]], np.float32
+    )
+    np.save(
+        det_dir / f"{scan_id}.npy",
+        {"box": corners, "class": ["chair", "table"], "logits": np.zeros((2, 19))},
+    )
+    from eda_tpu.data.decouple import decoupled_spans
+
+    annos = [
+        {
+            "scan_id": scan_id, "target_id": 0, "distractor_ids": [],
+            "utterance": "the chair", "target": "chair", "anchors": [],
+            "anchor_ids": [], "dataset": "scanrefer",
+            "decoupled": decoupled_spans("the chair . not mentioned"),
+        }
+    ]
+    ds = GroundingDataset(
+        {scan_id: scan}, annos, split="val", augment=False, butd=True,
+        vocab_size=512,
+        detected_dir=str(tmp_path / "group_free_pred_bboxes"),
+    )
+    ex = ds.example(0)
+    assert ex["inputs"]["det_mask"].sum() == 2
+    np.testing.assert_allclose(
+        ex["inputs"]["det_boxes"][0], [0.5, 0.5, 0.5, 1, 1, 1], atol=1e-6
+    )
+    # chair -> class id 2 in the 18-class vocab
+    assert ex["inputs"]["det_class_ids"][0] == 2
