@@ -67,15 +67,28 @@ def _force(x):
 
 
 def bench_forward(model, variables, batch, iters: int = 20, inner: int = 4) -> float:
-    """Amortize dispatch overhead with ``inner`` chained forwards per call."""
+    """Amortize dispatch overhead with ``inner`` chained forwards per call.
+
+    Each iteration's input is perturbed by a value that depends on the
+    previous iteration's output — without the data dependence XLA hoists the
+    loop-invariant forward out of the loop (CSE) and the loop measures one
+    forward divided by ``inner``.
+    """
 
     @jax.jit
     def fwd_n(v, x):
-        def body(_, acc):
-            out = model.apply(v, x, train=False)
-            return acc + jnp.sum(out["last_center"])
+        def body(_, carry):
+            acc, pc = carry
+            inputs = dict(x)
+            inputs["point_clouds"] = pc
+            out = model.apply(v, inputs, train=False)
+            s = jnp.sum(out["last_center"])
+            return acc + s, pc + (s * 1e-20).astype(pc.dtype)
 
-        return jax.lax.fori_loop(0, inner, body, 0.0)
+        acc, _ = jax.lax.fori_loop(
+            0, inner, body, (0.0, x["point_clouds"])
+        )
+        return acc
 
     _force(fwd_n(variables, batch["inputs"]))
     times = []

@@ -276,6 +276,9 @@ def evaluate(args, model, crit, state, model_cfg, logger):
     from eda_tpu.eval import GroundingEvaluator
     from eda_tpu.train import make_eval_step
 
+    if args.test_dataset == "scannet":
+        return evaluate_detection(args, model, state, model_cfg, logger)
+
     gen, n_val = make_loader(args, model_cfg, "val")
     n_val = min(n_val, 256)
     eval_fn = make_eval_step(model)
@@ -290,6 +293,57 @@ def evaluate(args, model, crit, state, model_cfg, logger):
         evaluator.evaluate(end_points, batch["targets"])
     logger.info("\n%s", evaluator.print_stats())
     return evaluator
+
+
+def evaluate_detection(args, model, state, model_cfg, logger):
+    """ScanNet detection AP over the fixed 18-class prompt
+    (``train_dist_mod.py:202-327`` equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eda_tpu.data.class_config import instance_label_to_class18
+    from eda_tpu.data.dataset import MAX_NUM_OBJ
+    from eda_tpu.data.detection_prompt import DetectionPromptDataset
+    from eda_tpu.data.scannet import load_packed_scans
+    from eda_tpu.eval.det_branch import evaluate_detection_batch
+    from eda_tpu.eval.detection import APCalculator
+    from eda_tpu.train import make_eval_step
+
+    scans = load_packed_scans(os.path.join(args.data_root, "val_v3scans.pkl"))
+    ds = DetectionPromptDataset(
+        scans, split="val", use_color=args.use_color, augment=False
+    )
+    eval_fn = make_eval_step(model)
+    calc = APCalculator(iou_thresh=0.25)
+    bsz = max(args.batch_size, 1)
+    for start in range(0, len(ds) - bsz + 1, bsz):
+        batch_np = ds.batch(range(start, start + bsz), butd=model_cfg.butd)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        end_points, _ = eval_fn(state.params, state.batch_stats, batch)
+        # recover per-sample gt classes from the scans
+        gt_classes = np.zeros((bsz, MAX_NUM_OBJ), np.int64)
+        for i in range(bsz):
+            scan = ds.scans[ds.scan_ids[(start + i) % len(ds.scan_ids)]]
+            classes = [
+                instance_label_to_class18(o["instance_label"])
+                for o in scan.three_d_objects
+            ]
+            keep = [c for c in classes if c < 18][:MAX_NUM_OBJ]
+            gt_classes[i, : len(keep)] = keep
+        from eda_tpu.models.tokenizer import make_tokenizer
+
+        caption = " . ".join(
+            __import__(
+                "eda_tpu.data.detection_prompt", fromlist=["PROMPT_NAMES"]
+            ).PROMPT_NAMES
+        ) + " . not mentioned"
+        tok = ds.tokenizer.encode_batch([caption], max_len=ds.text_len)
+        evaluate_detection_batch(
+            calc, end_points, batch_np["targets"], gt_classes, tok, caption
+        )
+    metrics = calc.compute_metrics()
+    logger.info("detection mAP@0.25: %.4f", metrics["mAP"])
+    return metrics
 
 
 if __name__ == "__main__":
