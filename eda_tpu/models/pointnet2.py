@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -141,6 +142,9 @@ class FusedSetAbstraction(nn.Module):
         params = SAParams(
             tuple(kernels), tuple(biases), tuple(scales), tuple(ln_biases)
         )
+        # Inference on TPU runs the Pallas pair kernel (~4x the XLA scan);
+        # training uses the rematerialized XLA path (the kernel has no VJP).
+        impl = "pallas" if (not train and jax.default_backend() == "tpu") else "xla"
         new_features = fused_set_abstraction(
             xyz,
             features,
@@ -151,6 +155,7 @@ class FusedSetAbstraction(nn.Module):
             block=self.block,
             compute_dtype=self.dtype,
             presorted=self.presorted,
+            impl=impl,
         )
         return new_xyz, new_features, inds
 

@@ -97,7 +97,9 @@ def _act_ln(x, scale, bias):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "window", "block", "compute_dtype", "presorted"),
+    static_argnames=(
+        "radius", "window", "block", "compute_dtype", "presorted", "impl"
+    ),
 )
 def fused_set_abstraction(
     xyz: jnp.ndarray,
@@ -110,6 +112,7 @@ def fused_set_abstraction(
     block: int = 64,
     compute_dtype=jnp.bfloat16,
     presorted: bool = False,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Fused SA forward.
 
@@ -239,8 +242,36 @@ def fused_set_abstraction(
         )
         return _, out
 
-    _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
-    outs = jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)[:, :M]
+    if impl == "pallas":
+        # Inference path: the Pallas kernel (no VJP yet — training uses the
+        # rematerialized XLA scan). Small center blocks, per-block windows.
+        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas
+
+        pb = 16 if (n_blocks * block) % 16 == 0 else 8
+        m_total = n_blocks * block
+        wcp = min(128, W)
+        mids = ranks[:, : m_total].reshape(B, m_total // pb, pb)[:, :, pb // 2]
+        p_starts = jnp.clip(mids - W // 2, 0, N - W).astype(jnp.int32)
+        if dense:
+            p_starts = jnp.zeros_like(p_starts)
+        layer_params = list(
+            zip(params.kernels, params.biases, params.ln_scales, params.ln_biases)
+        )
+        outs = sa_pair_pool_pallas(
+            A.astype(jnp.float32),
+            sxyz,
+            b_c.astype(jnp.float32),
+            cen_xyz,
+            p_starts,
+            layer_params,
+            radius=radius,
+            window=W,
+            block=pb,
+            wc=wcp,
+        )[:, :M]
+    else:
+        _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
+        outs = jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)[:, :M]
 
     # The center's own point is always an in-radius neighbor (centers are a
     # subset of the points) but a block-shared window may miss it for rank

@@ -6,4 +6,5 @@ correctness oracle (tests compare the two) and as the CPU fallback. Use
 """
 
 from eda_tpu.ops.pallas.fps import furthest_point_sample_pallas  # noqa: F401
+from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas  # noqa: F401
 

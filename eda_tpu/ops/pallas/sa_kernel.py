@@ -1,0 +1,314 @@
+"""Pallas TPU kernel for the fused set-abstraction pair MLP.
+
+The XLA formulation of the fused SA layer (``ops/fused_sa.py``) materializes
+every (centers x window x channels) pair tensor in HBM — ~25 GB of traffic
+per training batch at SA1 sizes, making the backbone ~98% of the forward.
+This kernel keeps pair tiles in VMEM: per grid cell it DMAs one small center
+block's point window from HBM, streams pair tiles through LayerNorm + ReLU +
+the pair matmuls on the MXU, masks by radius, and folds a per-center running
+max. Only the per-point projection ``A`` and the (M, c_out) output touch HBM.
+
+Layout (every op Mosaic-friendly):
+* pair tensors are (P, C): the point-major pair axis ``p * cm + c`` on
+  sublanes, channels on lanes — natural matmul orientation, LayerNorm is a
+  lane reduction, and the per-center max folds halves of the sublane axis
+  (rows j and j + P/2 always belong to the same center);
+* point-side rows replicate through a constant 0/1 kron matrix on the MXU
+  (``R1 = kron(I_wc, 1_cm)``), center-side rows tile by concatenation;
+* blocks are SMALL (cm ~ 8-16 centers): rank-sorted centers are spatially
+  local, so a small block needs only a short window (W ~ 512), cutting total
+  pair work ~4x vs wide blocks, and whole out-of-radius tiles skip their
+  MLP via ``pl.when``;
+* manually-DMA'd arrays must have 128-aligned lane dims, so A and xyz are
+  zero-padded to 128 lanes and LayerNorm masks down to the real channel
+  width per layer (padding lanes carry zero scale/bias so they stay zero
+  through the MLP).
+
+Layer-1 separability (see ``ops/fused_sa.py``) happens outside: the kernel
+receives ``A = [xyz/r; f] @ W1 + b1`` per point and the per-center offsets
+``b_c``; the caller maxes in the self term and restores rank order exactly
+like the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+_LANE = 128
+
+
+def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    pad = width - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def _ln_relu_masked(x, scale, bias, c_real: int, eps=1e-5):
+    """f32 LayerNorm over the first ``c_real`` lanes + ReLU.
+
+    x: (P, C_pad); scale/bias: (1, C_pad) zero-padded past c_real, which
+    forces padding lanes to zero after normalization.
+    """
+    x = x.astype(jnp.float32)
+    if c_real == x.shape[-1]:
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        mask = lane < c_real
+        xm = jnp.where(mask, x, 0.0)
+        mean = jnp.sum(xm, axis=1, keepdims=True) / c_real
+        var = (
+            jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=1, keepdims=True)
+            / c_real
+        )
+    out = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return jnp.maximum(out, 0.0)
+
+
+def _make_kernel(
+    widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float
+):
+    n_layers = len(widths)
+
+    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
+        n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
+        param_refs = rest[:n_p]
+        out_ref = rest[n_p]
+        a_buf, xyz_buf, acc, sem_a, sem_x = rest[n_p + 1:]
+
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
+        n_blocks = pl.num_programs(1)
+        n_cells = pl.num_programs(0) * n_blocks
+        cell = b * n_blocks + blk
+        slot = jax.lax.rem(cell, 2)
+        next_slot = jax.lax.rem(cell + 1, 2)
+
+        def issue(cell_idx, dst_slot):
+            """Start the window DMAs for linear grid cell ``cell_idx``."""
+            src_b = cell_idx // n_blocks
+            start = pl.multiple_of(starts_ref[cell_idx], 128)
+            pltpu.make_async_copy(
+                a_hbm.at[src_b, pl.ds(start, W), :],
+                a_buf.at[dst_slot],
+                sem_a.at[dst_slot],
+            ).start()
+            pltpu.make_async_copy(
+                xyz_hbm.at[src_b, pl.ds(start, W), :],
+                xyz_buf.at[dst_slot],
+                sem_x.at[dst_slot],
+            ).start()
+
+        # Double buffering: cell i waits for the window issued at cell i-1
+        # (or self-issued when first) while prefetching cell i+1's window —
+        # without the overlap, DMA latency alone costs more than the math.
+        @pl.when(cell == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(cell + 1 < n_cells)
+        def _():
+            issue(cell + 1, next_slot)
+
+        acc[:, :] = jnp.full_like(acc[:, :], _NEG)
+        pltpu.make_async_copy(
+            a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            xyz_hbm.at[0, pl.ds(0, W), :], xyz_buf.at[slot], sem_x.at[slot]
+        ).wait()
+        a_win = a_buf.at[slot]
+        xyz_win = xyz_buf.at[slot]
+
+        bc = bc_ref[0]  # (cm, C_pad)
+        cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
+        R1 = r1_ref[:, :]  # (P, wc) f32: R1[p*cm + c, p] = 1
+        bc_rep = jnp.concatenate([bc] * wc, axis=0)  # (P, C_pad)
+        cen_rep = jnp.concatenate([cen] * wc, axis=0)  # (P, 128)
+
+        def tile_body(t):
+            xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
+            p_xyz = jnp.dot(R1, xw, preferred_element_type=jnp.float32)
+            delta = p_xyz - cen_rep  # padding lanes are zero on both sides
+            d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
+            in_radius = d2 <= r2
+
+            @pl.when(jnp.any(in_radius))
+            def _():
+                awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
+                aw_rep = jnp.dot(
+                    R1, awt, preferred_element_type=jnp.float32
+                )  # (P, C_pad)
+                h = _ln_relu_masked(
+                    aw_rep + bc_rep.astype(jnp.float32),
+                    param_refs[2][:, :],
+                    param_refs[3][:, :],
+                    widths[0],
+                ).astype(jnp.bfloat16)
+                for li in range(1, n_layers):
+                    w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
+                    h_pre = (
+                        jnp.dot(h, w, preferred_element_type=jnp.float32)
+                        + param_refs[4 * li + 1][:, :]  # (1, C_pad_out)
+                    )
+                    h = _ln_relu_masked(
+                        h_pre,
+                        param_refs[4 * li + 2][:, :],
+                        param_refs[4 * li + 3][:, :],
+                        widths[li],
+                    ).astype(jnp.bfloat16)
+
+                masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
+                # halving folds over sublanes: (P, c_out) -> (cm, c_out)
+                half = (wc * cm) // 2
+                while half >= cm:
+                    masked = jnp.maximum(masked[:half, :], masked[half:2 * half, :])
+                    half //= 2
+                acc[:, :] = jnp.maximum(acc[:, :], masked)
+
+        # static (unrolled) loop: slice offsets must be compile-time aligned
+        for t in range(W // wc):
+            tile_body(t)
+
+        out_ref[0] = acc[:, :]
+
+    return kernel
+
+
+def _ceil_lane(c: int) -> int:
+    return ((c + _LANE - 1) // _LANE) * _LANE
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "window", "block", "wc", "interpret"),
+)
+def sa_pair_pool_pallas(
+    A: jnp.ndarray,
+    xyz_sorted: jnp.ndarray,
+    b_c: jnp.ndarray,
+    cen_xyz: jnp.ndarray,
+    starts: jnp.ndarray,
+    layer_params: Sequence[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    *,
+    radius: float,
+    window: int,
+    block: int = 16,
+    wc: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed masked-max pair MLP (see module docstring).
+
+    Args:
+        A: (B, N, c1) per-point layer-1 projections (bias folded in).
+        xyz_sorted: (B, N, 3) f32 sorted coordinates.
+        b_c: (B, M, c1) per-center offsets (centers in rank order).
+        cen_xyz: (B, M, 3) f32 center coordinates (rank order).
+        starts: (B, M // block) int32 window starts; quantized down to
+            multiples of 128 internally for DMA alignment.
+        layer_params: per layer (kernel, bias, ln_scale, ln_bias). Layer 0's
+            kernel/bias are folded into A/b_c by the caller; only its LN
+            params are used here.
+
+    Returns:
+        (B, M, c_out) f32 pooled features (same center order as inputs);
+        centers with no in-radius point in their window hold -1e9 (callers
+        max in the self term, which overrides the fill).
+    """
+    B, N, c1 = A.shape
+    M = b_c.shape[1]
+    widths = tuple(
+        [layer_params[0][2].shape[-1]]
+        + [p[0].shape[1] for p in layer_params[1:]]
+    )
+    n_blocks = M // block
+    assert M % block == 0 and window % wc == 0 and N >= window
+    c_out = widths[-1]
+    c_out_pad = _ceil_lane(c_out)
+    c1_pad = _ceil_lane(c1)
+
+    flat_params = []
+    flat_specs = []
+    for li, (k, bias, scale, lnb) in enumerate(layer_params):
+        if li == 0:
+            k_pad = jnp.zeros((1, 1), jnp.bfloat16)  # unused (folded into A)
+        else:
+            k_pad = _pad_lanes(
+                jnp.pad(k, ((0, _ceil_lane(k.shape[0]) - k.shape[0]), (0, 0))),
+                _ceil_lane(k.shape[1]),
+            ).astype(jnp.bfloat16)
+        flat_params += [
+            k_pad,
+            _pad_lanes(bias.reshape(1, -1), _ceil_lane(len(bias))).astype(jnp.float32),
+            _pad_lanes(scale.reshape(1, -1), _ceil_lane(len(scale))).astype(jnp.float32),
+            _pad_lanes(lnb.reshape(1, -1), _ceil_lane(len(lnb))).astype(jnp.float32),
+        ]
+        flat_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+
+    a_pad = _pad_lanes(A, c1_pad).astype(jnp.bfloat16)
+    xyz_pad = _pad_lanes(xyz_sorted, _LANE).astype(jnp.float32)
+    bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
+    cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
+
+    # 0/1 row-replication matrix (point-major): R1[p*cm + c, p] = 1. f32 so
+    # replicated coordinates stay exact for the radius test.
+    R1 = jnp.asarray(
+        np.kron(np.eye(wc, dtype=np.float32), np.ones((block, 1), np.float32))
+    )  # (wc*block, wc)
+
+    starts = (starts // 128) * 128
+
+    kernel = _make_kernel(widths, window, wc, block, radius * radius)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # a_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xyz_pad (HBM)
+            pl.BlockSpec(
+                (1, block, c1_pad), lambda b, blk, starts: (b, blk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block, _LANE), lambda b, blk, starts: (b, blk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # R1
+        ] + flat_specs,
+        out_specs=pl.BlockSpec(
+            (1, block, c_out_pad), lambda b, blk, starts: (b, blk, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c1_pad), jnp.bfloat16),
+            pltpu.VMEM((2, window, _LANE), jnp.float32),
+            pltpu.VMEM((block, c_out_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        starts.reshape(-1).astype(jnp.int32),
+        a_pad,
+        xyz_pad,
+        bc_pad,
+        cen_pad,
+        R1,
+        *flat_params,
+    )
+    return out[..., :c_out]
