@@ -42,9 +42,10 @@ class ModelConfig:
     # fused = TPU-native index-free SA (ops/fused_sa.py); gather = exact
     # reference semantics (ball query + neighbor gather + BN).
     sa_impl: str = "fused"
-    # SA1 windowed (2048 of 50k, Morton coverage ~88%); SA2-4 dense
-    # (window >= layer N -> exact, no device sort).
-    sa_windows: Sequence[int] = (2048, 2048, 1024, 512)
+    # All SA layers windowed: the backbone re-sorts surviving points by the
+    # next layer's Morton grid between layers, so short windows apply
+    # throughout (coverage ~88% at these ratios).
+    sa_windows: Sequence[int] = (2048, 512, 256, 256)
     # input pipeline Morton-sorts clouds on host; SA1 then needs no device
     # sort (data/presort.py)
     points_presorted: bool = True
@@ -64,7 +65,7 @@ class ModelConfig:
         return dataclasses.replace(
             self,
             num_points=1024,
-            sa_windows=(256, 256, 128, 64),  # SA1 windowed, SA2-4 dense
+            sa_windows=(256, 128, 64, 64),
             sa_npoints=(256, 128, 64, 32),
             sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
             fp_mlps=((64, 64), (64, 96)),

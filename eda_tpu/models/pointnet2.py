@@ -219,8 +219,13 @@ class PointNetPPBackbone(nn.Module):
         """point_cloud: (B, N, 3 + input_feature_dim)."""
         xyz = point_cloud[..., 0:3].astype(jnp.float32)
         features = point_cloud[..., 3:] if point_cloud.shape[-1] > 3 else None
+        B, N = xyz.shape[:2]
 
         end_points = {}
+        # Tracks each current point's index into the INPUT cloud (which is
+        # the coordinate system of seed_inds / point_instance_label).
+        domain_orig = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        resort = self.sa_impl == "fused" and self.points_presorted
         for i in range(4):
             if self.sa_impl == "fused":
                 xyz, features, inds = FusedSetAbstraction(
@@ -228,7 +233,7 @@ class PointNetPPBackbone(nn.Module):
                     radius=self.radii[i],
                     window=self.sa_windows[i],
                     mlp_channels=self.mlps[i],
-                    presorted=(i == 0 and self.points_presorted),
+                    presorted=(self.points_presorted if i == 0 else resort),
                     dtype=self.dtype,
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)
@@ -241,9 +246,28 @@ class PointNetPPBackbone(nn.Module):
                     dtype=self.dtype,
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)
+            domain_orig = jnp.take_along_axis(domain_orig, inds.astype(jnp.int32), 1)
+            if resort and i < 3:
+                # Re-sort the surviving points by the NEXT layer's Morton
+                # grid so every fused SA layer sees presorted input and can
+                # use short windows instead of dense all-pairs
+                # (ops/fused_sa.py). A (key, iota) sort + row gathers —
+                # multi-operand feature sorts explode TPU compile time.
+                from eda_tpu.ops.fused_sa import morton_keys
+
+                keys = morton_keys(xyz, self.radii[i + 1])
+                M = keys.shape[1]
+                _, perm = jax.lax.sort(
+                    [keys, jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))],
+                    dimension=1,
+                    num_keys=1,
+                )
+                xyz = jnp.take_along_axis(xyz, perm[..., None], 1)
+                features = jnp.take_along_axis(features, perm[..., None], 1)
+                domain_orig = jnp.take_along_axis(domain_orig, perm, 1)
             end_points[f"sa{i + 1}_xyz"] = xyz
             end_points[f"sa{i + 1}_features"] = features
-            end_points[f"sa{i + 1}_inds"] = inds
+            end_points[f"sa{i + 1}_inds"] = domain_orig
 
         f1 = FeaturePropagation(self.fp_mlps[0], dtype=self.dtype, name="fp1")(
             end_points["sa3_xyz"],
@@ -262,5 +286,11 @@ class PointNetPPBackbone(nn.Module):
         num_seed = end_points["sa2_xyz"].shape[1]
         end_points["fp2_features"] = f2
         end_points["fp2_xyz"] = end_points["sa2_xyz"]
-        end_points["fp2_inds"] = end_points["sa1_inds"][:, :num_seed]
+        if self.sa_impl == "fused" and self.points_presorted:
+            # the seeds ARE sa2's points; their input-cloud indices are
+            # tracked exactly (the reference approximates this with
+            # sa1_inds[:, :1024], backbone_module.py:142)
+            end_points["fp2_inds"] = end_points["sa2_inds"]
+        else:
+            end_points["fp2_inds"] = end_points["sa1_inds"][:, :num_seed]
         return end_points

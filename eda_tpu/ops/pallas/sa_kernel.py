@@ -130,15 +130,24 @@ def _make_kernel(
         a_win = a_buf.at[slot]
         xyz_win = xyz_buf.at[slot]
 
+        # Pair rows are CENTER-major: row c * wc + p pairs center c with
+        # window point p. The point side then replicates with a cheap tile
+        # (pltpu.repeat has concat semantics), and the center side expands
+        # through a small (P, cm) kron matmul — 8-16x fewer MACs than
+        # expanding the point side would need.
         bc = bc_ref[0]  # (cm, C_pad)
         cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
-        R1 = r1_ref[:, :]  # (P, wc) f32: R1[p*cm + c, p] = 1
-        bc_rep = jnp.concatenate([bc] * wc, axis=0)  # (P, C_pad)
-        cen_rep = jnp.concatenate([cen] * wc, axis=0)  # (P, 128)
+        R2 = r1_ref[:, :]  # (P, cm) f32: R2[c*wc + p, c] = 1
+        bc_rep = jnp.dot(
+            R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
+        )  # (P, C_pad)
+        cen_rep = jnp.dot(
+            R2, cen, preferred_element_type=jnp.float32
+        )  # (P, 128)
 
         def tile_body(t):
             xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
-            p_xyz = jnp.dot(R1, xw, preferred_element_type=jnp.float32)
+            p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile semantics
             delta = p_xyz - cen_rep  # padding lanes are zero on both sides
             d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
             in_radius = d2 <= r2
@@ -146,11 +155,9 @@ def _make_kernel(
             @pl.when(jnp.any(in_radius))
             def _():
                 awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
-                aw_rep = jnp.dot(
-                    R1, awt, preferred_element_type=jnp.float32
-                )  # (P, C_pad)
+                aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
                 h = _ln_relu_masked(
-                    aw_rep + bc_rep.astype(jnp.float32),
+                    aw_rep + bc_rep,
                     param_refs[2][:, :],
                     param_refs[3][:, :],
                     widths[0],
@@ -169,12 +176,13 @@ def _make_kernel(
                     ).astype(jnp.bfloat16)
 
                 masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
-                # halving folds over sublanes: (P, c_out) -> (cm, c_out)
-                half = (wc * cm) // 2
-                while half >= cm:
-                    masked = jnp.maximum(masked[:half, :], masked[half:2 * half, :])
-                    half //= 2
-                acc[:, :] = jnp.maximum(acc[:, :], masked)
+                # center-major segmented max: each center's wc rows reduce
+                # across sublanes
+                for c in range(cm):
+                    seg = masked[c * wc:(c + 1) * wc, :]
+                    acc[c:c + 1, :] = jnp.maximum(
+                        acc[c:c + 1, :], jnp.max(seg, axis=0, keepdims=True)
+                    )
 
         # static (unrolled) loop: slice offsets must be compile-time aligned
         for t in range(W // wc):
@@ -260,11 +268,11 @@ def sa_pair_pool_pallas(
     bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
     cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
 
-    # 0/1 row-replication matrix (point-major): R1[p*cm + c, p] = 1. f32 so
+    # 0/1 center-expansion matrix (center-major): R2[c*wc + p, c] = 1. f32 so
     # replicated coordinates stay exact for the radius test.
-    R1 = jnp.asarray(
-        np.kron(np.eye(wc, dtype=np.float32), np.ones((block, 1), np.float32))
-    )  # (wc*block, wc)
+    R2 = jnp.asarray(
+        np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
+    )  # (block*wc, block)
 
     starts = (starts // 128) * 128
 
@@ -308,7 +316,7 @@ def sa_pair_pool_pallas(
         xyz_pad,
         bc_pad,
         cen_pad,
-        R1,
+        R2,
         *flat_params,
     )
     return out[..., :c_out]
