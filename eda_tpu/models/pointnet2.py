@@ -112,6 +112,7 @@ class FusedSetAbstraction(nn.Module):
     mlp_channels: Sequence[int]
     block: int = 64
     presorted: bool = False
+    fps_presample: int = 8192
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +127,19 @@ class FusedSetAbstraction(nn.Module):
 
         if features is None:
             features = jnp.zeros(xyz.shape[:2] + (0,), xyz.dtype)
-        inds = pointops.furthest_point_sample_auto(xyz, self.npoint)
+        N = xyz.shape[1]
+        if self.presorted and N >= 4 * self.fps_presample >= 4 * self.npoint:
+            # Two-stage sampling: a Morton-stride subsample is already
+            # spatially stratified, so FPS over it matches full FPS coverage
+            # at a fraction of the serial cost (the per-step argmax sweeps
+            # N lanes; 50k -> 8k is ~6x).
+            sub = (jnp.arange(self.fps_presample, dtype=jnp.int32) * N) // self.fps_presample
+            sub = jnp.broadcast_to(sub, (xyz.shape[0], self.fps_presample))
+            sub_xyz = pointops.gather_points(xyz, sub)
+            local = pointops.furthest_point_sample_auto(sub_xyz, self.npoint)
+            inds = jnp.take_along_axis(sub, local, axis=1)
+        else:
+            inds = pointops.furthest_point_sample_auto(xyz, self.npoint)
         new_xyz = pointops.gather_points(xyz, inds)
 
         kernels, biases, scales, ln_biases = [], [], [], []

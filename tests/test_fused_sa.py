@@ -114,3 +114,39 @@ def test_permutation_alignment(rng):
         )
     )
     np.testing.assert_allclose(out1[:, perm], out2, rtol=1e-4, atol=1e-5)
+
+
+def test_stride_presample_fps_coverage(rng):
+    """Two-stage (Morton-stride + FPS) sampling matches direct FPS spread."""
+    import jax
+    from eda_tpu.data.presort import morton_sort
+    from eda_tpu.models.pointnet2 import FusedSetAbstraction
+
+    N, M = 4096, 128
+    xyz_np = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    xyz_np, = morton_sort(xyz_np)
+    xyz = jnp.asarray(xyz_np[None])
+    feats = jnp.asarray(rng.normal(size=(1, N, 2)).astype(np.float32))
+
+    layer = FusedSetAbstraction(
+        npoint=M, radius=0.5, window=N, mlp_channels=(8, 8),
+        presorted=True, fps_presample=1024,
+    )
+    variables = layer.init(jax.random.key(0), xyz, feats, train=False)
+    _, _, inds = layer.apply(variables, xyz, feats, train=False)
+    inds = np.asarray(inds)[0]
+    assert len(set(inds.tolist())) == M  # distinct samples
+
+    pts = xyz_np[inds]
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    min_spread_two_stage = d.min()
+
+    from eda_tpu.ops.pointops import furthest_point_sample, gather_points
+
+    direct = np.asarray(furthest_point_sample(xyz, M))[0]
+    pts_d = xyz_np[direct]
+    dd = np.linalg.norm(pts_d[:, None] - pts_d[None], axis=-1)
+    np.fill_diagonal(dd, 1e9)
+    # two-stage spread within 40% of exact FPS spread
+    assert min_spread_two_stage > 0.6 * dd.min(), (min_spread_two_stage, dd.min())
