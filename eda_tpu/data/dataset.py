@@ -71,6 +71,8 @@ class GroundingDataset:
         seed: int = 0,
         augment_det: bool = False,
         detected_dir: str = None,
+        use_height: bool = False,
+        multiview_path: str = None,
     ):
         self.scans = scans
         self.annos = [a for a in annos if a["scan_id"] in scans]
@@ -83,6 +85,8 @@ class GroundingDataset:
         self.butd_cls = butd_cls
         self.augment_det = augment_det
         self.detected_dir = detected_dir
+        self.use_height = use_height
+        self.multiview_path = multiview_path
         self.text_len = text_len
         self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
         self.seed = seed
@@ -120,6 +124,21 @@ class GroundingDataset:
 
     def __len__(self) -> int:
         return len(self.annos)
+
+    def _load_multiview(self, scan_id: str) -> np.ndarray:
+        """128-d multiview image features per point from the ScanNet
+        ``enet_feats_maxpool.hdf5`` store (``joint_det_dataset.py:411-418``)."""
+        import h5py
+
+        if not hasattr(self, "_multiview_file"):
+            self._multiview_file = h5py.File(self.multiview_path, "r")
+        feats = np.asarray(self._multiview_file[scan_id], np.float32)
+        n = len(self.scans[scan_id].pc)
+        if len(feats) < n:  # pad short stores
+            feats = np.concatenate(
+                [feats, np.zeros((n - len(feats), feats.shape[1]), np.float32)]
+            )
+        return feats[:n]
 
     def _load_detected(self, scan_id: str):
         """GroupFree per-scan detections (``joint_det_dataset.py:785-824``):
@@ -223,18 +242,32 @@ class GroundingDataset:
             aux = maps["auxi"] if maps["auxi"].sum() > 0 else maps["main"]
             positive_map[1] = aux
 
+        # optional per-point extras (joint_det_dataset.py:481-490)
+        extras = []
+        if self.use_height:
+            floor = np.percentile(xyz[:, 2], 0.99)
+            extras.append((xyz[:, 2] - floor)[:, None].astype(np.float32))
+        if self.multiview_path:
+            extras.append(self._load_multiview(anno["scan_id"]))
+
         # Morton presort after augmentation so the fused SA layer consumes
         # spatially sorted clouds without a device-side sort.
         from eda_tpu.data.presort import morton_sort
 
+        arrays = [a for a in (color, point_instance, *extras) if a is not None]
+        sorted_all = morton_sort(xyz, *arrays)
+        xyz = sorted_all[0]
+        rest = list(sorted_all[1:])
         if color is not None:
-            xyz, color, point_instance = morton_sort(xyz, color, point_instance)
-        else:
-            xyz, point_instance = morton_sort(xyz, point_instance)
+            color = rest.pop(0)
+        point_instance = rest.pop(0)
+        extras = rest
 
         pc = xyz.astype(np.float32)
         if color is not None:
             pc = np.concatenate([pc, color.astype(np.float32)], -1)
+        for extra in extras:
+            pc = np.concatenate([pc, extra.astype(np.float32)], -1)
 
         inputs = {
             "point_clouds": pc,
