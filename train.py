@@ -285,12 +285,11 @@ def evaluate(args, model, crit, state, model_cfg, logger):
     evaluator = GroundingEvaluator(prefixes=("last_", "proposal_"))
     bsz = max(args.batch_size, 1)
     for start in range(0, n_val - bsz + 1, bsz):
-        batch = jax.tree_util.tree_map(
-            jnp.asarray,
-            gen.batch(range(start, start + bsz), butd=model_cfg.butd),
-        )
+        batch_np = gen.batch(range(start, start + bsz), butd=model_cfg.butd)
+        hardness = batch_np.pop("hardness", None)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         end_points, _ = eval_fn(state.params, state.batch_stats, batch)
-        evaluator.evaluate(end_points, batch["targets"])
+        evaluator.evaluate(end_points, batch["targets"], hardness)
     logger.info("\n%s", evaluator.print_stats())
     return evaluator
 
