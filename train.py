@@ -159,6 +159,18 @@ def make_loader(args, model_cfg, split: str):
     from eda_tpu.data.dataset import GroundingDataset  # real-data path
 
     ds = GroundingDataset.from_args(args, split)
+    if args.joint_det and split == "train":
+        # mix in scannet detection prompts at 10x (train_dist_mod.py:50-51)
+        from eda_tpu.data.detection_prompt import (
+            DetectionPromptDataset,
+            MixedDataset,
+        )
+
+        det = DetectionPromptDataset(
+            ds.scans, split=split, use_color=args.use_color,
+            augment=getattr(args, "augment", True),
+        )
+        ds = MixedDataset([ds, det], multipliers=[1, 10])
     return ds, len(ds)
 
 
