@@ -18,7 +18,7 @@ import csv
 import json
 import os.path as osp
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from eda_tpu.data.decouple import decoupled_spans
 

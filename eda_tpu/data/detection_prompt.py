@@ -14,7 +14,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from eda_tpu.data.class_config import CLASSES_18, instance_label_to_class18
+from eda_tpu.data.class_config import instance_label_to_class18
 from eda_tpu.data.dataset import MAX_NUM_OBJ
 from eda_tpu.data.positive_maps import MAX_TOKENS, spans_to_map
 from eda_tpu.data.presort import morton_sort

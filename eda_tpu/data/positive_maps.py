@@ -8,7 +8,7 @@ fixed 256 token positions (the soft-token class space, MAX_TOKENS).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

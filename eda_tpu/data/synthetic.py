@@ -16,7 +16,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from eda_tpu.config import ModelConfig
 from eda_tpu.data.decouple import decoupled_spans
 from eda_tpu.data.positive_maps import MAX_TOKENS, build_positive_maps, not_mentioned_suffix
 from eda_tpu.models.tokenizer import SimpleTokenizer

@@ -17,7 +17,7 @@ detail it undoes at IoU time, so it is dropped.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

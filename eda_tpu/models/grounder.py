@@ -15,8 +15,6 @@ The returned ``end_points`` dict keeps the reference's key naming
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -36,7 +36,7 @@ Deviations from the reference, both deliberate TPU-first choices:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
