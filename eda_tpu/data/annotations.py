@@ -44,8 +44,15 @@ def _decouple(annos: List[dict]) -> List[dict]:
     return annos
 
 
-def load_scanrefer(data_path: str, split: str) -> List[dict]:
-    """ScanRefer JSON annotations (``joint_det_dataset.py:243-330``)."""
+def load_scanrefer(
+    data_path: str, split: str, wo_obj_name: str = None
+) -> List[dict]:
+    """ScanRefer JSON annotations (``joint_det_dataset.py:243-330``).
+
+    ``wo_obj_name``: path to the "grounding without object names" annotation
+    JSON; when given it replaces the utterance source (the reference's
+    ``--wo_obj_name`` eval variant, ``joint_det_dataset.py:252-254``).
+    """
     if split in ("val", "test"):
         split = "val"
     base = osp.join(data_path, "ScanRefer", f"ScanRefer_filtered_{split}")
@@ -53,6 +60,9 @@ def load_scanrefer(data_path: str, split: str) -> List[dict]:
         scan_ids = {line.strip() for line in f}
     with open(base + ".json") as f:
         reader = json.load(f)
+    if wo_obj_name:
+        with open(wo_obj_name) as f:
+            reader = json.load(f)
     annos = [
         {
             "scan_id": anno["scene_id"],
@@ -161,12 +171,13 @@ def compute_scanrefer_flags(
 
 
 def load_annotations(
-    dataset: str, data_path: str, split: str, debug: bool = False
+    dataset: str, data_path: str, split: str, debug: bool = False,
+    wo_obj_name: str = None,
 ) -> List[dict]:
     """Dispatch per dataset name; ``debug`` caps at 128 annos
     (``joint_det_dataset.py:150-151``)."""
     if dataset == "scanrefer":
-        annos = load_scanrefer(data_path, split)
+        annos = load_scanrefer(data_path, split, wo_obj_name=wo_obj_name)
     elif dataset == "sr3d":
         annos = load_sr3d(data_path, split)
     elif dataset == "sr3d+":

@@ -105,7 +105,8 @@ class GroundingDataset:
                 continue
             annos.extend(
                 anno_lib.load_annotations(
-                    name, args.data_root, split, debug=args.debug
+                    name, args.data_root, split, debug=args.debug,
+                    wo_obj_name=getattr(args, "wo_obj_name", None),
                 )
             )
         return cls(

@@ -83,6 +83,8 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=None, help="cap steps (smoke runs)")
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
+    p.add_argument("--wo_obj_name", default=None,
+                   help="alternative ScanRefer annotations without object names (eval variant)")
     return p.parse_args(argv)
 
 
@@ -180,6 +182,10 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # multi-host: one jax.distributed.initialize() replaces the reference's
+    # NCCL process-group bootstrap (train_dist_mod.py:337-339)
+    if os.environ.get("EDA_TPU_MULTIHOST"):
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from eda_tpu.losses.criterion import SetCriterionConfig
