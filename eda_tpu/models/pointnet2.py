@@ -156,7 +156,10 @@ class FusedSetAbstraction(nn.Module):
             tuple(kernels), tuple(biases), tuple(scales), tuple(ln_biases)
         )
         # Inference on TPU runs the Pallas pair kernel (~4x the XLA scan);
-        # training uses the rematerialized XLA path (the kernel has no VJP).
+        # training takes the rematerialized XLA path — a Pallas primal with
+        # recompute-XLA backward was measured net-neutral (9.4 vs 9.8
+        # scenes/sec) at double the compile time, so the custom_vjp hybrid
+        # (ops/fused_sa.py:_hybrid_pool) stays available but not default.
         impl = "pallas" if (not train and jax.default_backend() == "tpu") else "xla"
         new_features = fused_set_abstraction(
             xyz,

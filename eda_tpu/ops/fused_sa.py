@@ -95,6 +95,130 @@ def _act_ln(x, scale, bias):
     return jax.nn.relu(_ln(x, scale, bias))
 
 
+def _scan_pool(
+    A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales, ln_biases,
+    *, statics,
+):
+    """Differentiable windowed masked-max pair MLP: scan over center blocks.
+
+    ``ranks_f`` is float (int cotangents are awkward in custom_vjp); windows
+    derive from it. Returns (B, n_blocks*block, c_out) in rank order.
+    """
+    radius, W, block, n_blocks, dense, compute_dtype = statics
+    r2 = radius * radius
+    B, N, _ = A.shape
+    ranks = ranks_f.astype(jnp.int32)
+    kers = [k.astype(compute_dtype) for k in kernels]
+    bias = [b.astype(compute_dtype) for b in biases]
+
+    # Rematerialized per-block compute: without checkpointing, autodiff of
+    # the scan stores every block's (B, cm, W, C) pair tensors as residuals
+    # (tens of GB at SA1 sizes); with it, backward recomputes each block.
+    @jax.checkpoint
+    def block_compute(a_win, xyz_win, bc_blk, cen_blk, ln_params):
+        scales, lbiases = ln_params
+        h = _act_ln(
+            a_win[:, None, :, :] + bc_blk[:, :, None, :], scales[0], lbiases[0]
+        ).astype(compute_dtype)  # (B, cm, W, c1)
+        for i, (k, b) in enumerate(zip(kers, bias)):
+            h = h @ k + b
+            h = _act_ln(h, scales[i + 1], lbiases[i + 1]).astype(compute_dtype)
+        d2 = jnp.sum(
+            (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
+        )  # (B, cm, W)
+        masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
+        return jnp.max(masked, axis=2)  # (B, cm, c_out)
+
+    def block_fn(_, bi):
+        mid = jax.lax.dynamic_slice_in_dim(ranks, bi * block + block // 2, 1, 1)
+        start = jnp.clip(mid[:, 0] - W // 2, 0, N - W)  # (B,)
+        if dense:
+            start = jnp.zeros_like(start)
+        a_win = jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=0)
+        )(A, start)  # (B, W, c1)
+        xyz_win = jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=0)
+        )(sxyz, start)  # (B, W, 3)
+        bc_blk = jax.lax.dynamic_slice_in_dim(b_c, bi * block, block, 1)
+        cen_blk = jax.lax.dynamic_slice_in_dim(cen_xyz, bi * block, block, 1)
+        out = block_compute(
+            a_win, xyz_win, bc_blk, cen_blk, (ln_scales, ln_biases)
+        )
+        return _, out
+
+    _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
+    return jnp.swapaxes(outs, 0, 1).reshape(A.shape[0], n_blocks * block, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_pool(statics):
+    """custom_vjp pool: Pallas-kernel forward, recompute-XLA-scan backward.
+
+    The kernel has no VJP; differentiating through the scan in the backward
+    keeps training correct while the primal gets the fast path (and matches
+    what serving computes).
+    """
+    radius, W, block, n_blocks, dense, compute_dtype = statics
+
+    def primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+               ln_scales, ln_biases):
+        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas
+
+        ranks = ranks_f.astype(jnp.int32)
+        B = A.shape[0]
+        N = A.shape[1]
+        m_total = n_blocks * block
+        pb = 16 if m_total % 16 == 0 else 8
+        wcp = min(128, W)
+        mids = ranks[:, :m_total].reshape(B, m_total // pb, pb)[:, :, pb // 2]
+        p_starts = jnp.clip(mids - W // 2, 0, N - W).astype(jnp.int32)
+        if dense:
+            p_starts = jnp.zeros_like(p_starts)
+        layer_params = [(k0, b0, ln_scales[0], ln_biases[0])] + [
+            (k, b, s, lb)
+            for k, b, s, lb in zip(kernels, biases, ln_scales[1:], ln_biases[1:])
+        ]
+        return sa_pair_pool_pallas(
+            A, sxyz, b_c, cen_xyz, p_starts, layer_params,
+            radius=radius, window=W, block=pb, wc=wcp,
+        )
+
+    @jax.custom_vjp
+    def pool(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+             ln_scales, ln_biases):
+        return primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels,
+                      biases, ln_scales, ln_biases)
+
+    def fwd(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+            ln_scales, ln_biases):
+        out = primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels,
+                     biases, ln_scales, ln_biases)
+        return out, (A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels,
+                     biases, ln_scales, ln_biases)
+
+    def bwd(res, g):
+        (A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases, ln_scales,
+         ln_biases) = res
+
+        def f(A_, bc_, kernels_, biases_, scales_, lbiases_):
+            return _scan_pool(
+                A_, sxyz, bc_, cen_xyz, ranks_f, kernels_, biases_, scales_,
+                lbiases_, statics=statics,
+            )
+
+        _, vjp = jax.vjp(f, A, b_c, kernels, biases, ln_scales, ln_biases)
+        dA, dbc, dk, db, ds, dlb = vjp(g)
+        zero = lambda x: jax.tree_util.tree_map(jnp.zeros_like, x)  # noqa: E731
+        # k0/b0 only feed A/b_c OUTSIDE this boundary; inside they are
+        # kernel-call plumbing with no gradient
+        return (dA, zero(sxyz), dbc, zero(cen_xyz), zero(ranks_f),
+                zero(k0), zero(b0), dk, db, ds, dlb)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -200,79 +324,36 @@ def fused_set_abstraction(
         b_c = jnp.pad(b_c, ((0, 0), (0, m_pad), (0, 0)))
         cen_xyz = jnp.pad(cen_xyz, ((0, 0), (0, m_pad), (0, 0)), mode="edge")
 
-    r2 = radius * radius
     W = min(window, N)
-    kers = [k.astype(compute_dtype) for k in params.kernels[1:]]
-    bias = [b.astype(compute_dtype) for b in params.biases[1:]]
-
-    # Rematerialized per-block compute: without checkpointing, autodiff of
-    # the scan stores every block's (B, cm, W, C) pair tensors as residuals
-    # (tens of GB at SA1 sizes); with it, backward recomputes each block.
-    @jax.checkpoint
-    def block_compute(a_win, xyz_win, bc_blk, cen_blk, ln_params):
-        scales, lbiases = ln_params
-        h = _act_ln(
-            a_win[:, None, :, :] + bc_blk[:, :, None, :], scales[0], lbiases[0]
-        ).astype(compute_dtype)  # (B, cm, W, c1)
-        for i, (k, b) in enumerate(zip(kers, bias)):
-            h = h @ k + b
-            h = _act_ln(h, scales[i + 1], lbiases[i + 1]).astype(compute_dtype)
-        d2 = jnp.sum(
-            (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
-        )  # (B, cm, W)
-        masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
-        return jnp.max(masked, axis=2)  # (B, cm, c_out)
-
-    def block_fn(_, bi):
-        mid = jax.lax.dynamic_slice_in_dim(ranks, bi * block + block // 2, 1, 1)
-        start = jnp.clip(mid[:, 0] - W // 2, 0, N - W)  # (B,)
-        if dense:
-            start = jnp.zeros_like(start)
-        a_win = jax.vmap(
-            lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=0)
-        )(A, start)  # (B, W, c1)
-        xyz_win = jax.vmap(
-            lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=0)
-        )(sxyz, start)  # (B, W, 3)
-        bc_blk = jax.lax.dynamic_slice_in_dim(b_c, bi * block, block, 1)
-        cen_blk = jax.lax.dynamic_slice_in_dim(cen_xyz, bi * block, block, 1)
-        out = block_compute(
-            a_win, xyz_win, bc_blk, cen_blk,
-            (params.ln_scales, params.ln_biases),
-        )
-        return _, out
-
+    statics = (radius, W, block, n_blocks, dense, compute_dtype)
+    diff_params = (
+        tuple(params.kernels[1:]),
+        tuple(params.biases[1:]),
+        tuple(params.ln_scales),
+        tuple(params.ln_biases),
+    )
     if impl == "pallas":
-        # Inference path: the Pallas kernel (no VJP yet — training uses the
-        # rematerialized XLA scan). Small center blocks, per-block windows.
-        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas
-
-        pb = 16 if (n_blocks * block) % 16 == 0 else 8
-        m_total = n_blocks * block
-        wcp = min(128, W)
-        mids = ranks[:, : m_total].reshape(B, m_total // pb, pb)[:, :, pb // 2]
-        p_starts = jnp.clip(mids - W // 2, 0, N - W).astype(jnp.int32)
-        if dense:
-            p_starts = jnp.zeros_like(p_starts)
-        layer_params = list(
-            zip(params.kernels, params.biases, params.ln_scales, params.ln_biases)
-        )
-        outs = sa_pair_pool_pallas(
+        # Pallas forward with a recompute-XLA backward (custom_vjp): the
+        # primal runs the fast kernel, gradients re-derive through the
+        # rematerialized XLA scan.
+        outs = _hybrid_pool(statics)(
             A.astype(jnp.float32),
             sxyz,
             b_c.astype(jnp.float32),
             cen_xyz,
-            p_starts,
-            layer_params,
-            radius=radius,
-            window=W,
-            block=pb,
-            wc=wcp,
+            ranks.astype(jnp.float32),
+            params.kernels[0],
+            params.biases[0],
+            *diff_params,
         )[:, :M]
     else:
-        _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
-        outs = jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)[:, :M]
+        outs = _scan_pool(
+            A, sxyz, b_c, cen_xyz, ranks.astype(jnp.float32), *diff_params,
+            statics=statics,
+        )[:, :M]
 
+    kers = [k.astype(compute_dtype) for k in params.kernels[1:]]
+    bias = [b.astype(compute_dtype) for b in params.biases[1:]]
     # The center's own point is always an in-radius neighbor (centers are a
     # subset of the points) but a block-shared window may miss it for rank
     # outliers. Max in the self term explicitly — max is idempotent, so this
