@@ -44,8 +44,12 @@ class ModelConfig:
     sa_impl: str = "fused"
     # All SA layers windowed: the backbone re-sorts surviving points by the
     # next layer's Morton grid between layers, so short windows apply
-    # throughout (coverage ~88% at these ratios).
-    sa_windows: Sequence[int] = (2048, 512, 256, 256)
+    # throughout. Measured mean in-radius-neighbor coverage on synthetic
+    # scenes: 0.74/0.76/0.70/0.74 per layer (max-pool over a large subset;
+    # the reference itself pools over <=nsample=64 first-found neighbors,
+    # pointnet2_modules.py:210-272). SA1 2048->1024 and SA2 512->256 cut the
+    # pair-kernel time ~1.7x end-to-end for ~7pp coverage.
+    sa_windows: Sequence[int] = (1024, 256, 256, 256)
     # input pipeline Morton-sorts clouds on host; SA1 then needs no device
     # sort (data/presort.py)
     points_presorted: bool = True
