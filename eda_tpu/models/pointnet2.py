@@ -112,6 +112,11 @@ class FusedSetAbstraction(nn.Module):
     mlp_channels: Sequence[int]
     block: int = 64
     presorted: bool = False
+    # Emit centers in ascending-index (Morton-rank) order. Morton order is
+    # hierarchical, so a rank-ordered subset of a presorted cloud is itself
+    # presorted for every later (coarser-radius) layer — the backbone chains
+    # SA layers without any device-side re-sort.
+    rank_order_out: bool = False
     fps_presample: int = 8192
     dtype: jnp.dtype = jnp.float32
 
@@ -140,7 +145,6 @@ class FusedSetAbstraction(nn.Module):
             inds = jnp.take_along_axis(sub, local, axis=1)
         else:
             inds = pointops.furthest_point_sample_auto(xyz, self.npoint)
-        new_xyz = pointops.gather_points(xyz, inds)
 
         kernels, biases, scales, ln_biases = [], [], [], []
         prev = 3 + features.shape[-1]
@@ -161,7 +165,7 @@ class FusedSetAbstraction(nn.Module):
         # scenes/sec) at double the compile time, so the custom_vjp hybrid
         # (ops/fused_sa.py:_hybrid_pool) stays available but not default.
         impl = "pallas" if (not train and jax.default_backend() == "tpu") else "xla"
-        new_features = fused_set_abstraction(
+        out = fused_set_abstraction(
             xyz,
             features,
             inds,
@@ -172,7 +176,13 @@ class FusedSetAbstraction(nn.Module):
             compute_dtype=self.dtype,
             presorted=self.presorted,
             impl=impl,
+            return_rank_order=self.rank_order_out,
         )
+        if self.rank_order_out:
+            new_features, inds = out
+        else:
+            new_features = out
+        new_xyz = pointops.gather_points(xyz, inds)
         return new_xyz, new_features, inds
 
 
@@ -241,7 +251,11 @@ class PointNetPPBackbone(nn.Module):
         # Tracks each current point's index into the INPUT cloud (which is
         # the coordinate system of seed_inds / point_instance_label).
         domain_orig = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-        resort = self.sa_impl == "fused" and self.points_presorted
+        # Rank-order chaining: with a host-Morton-sorted input cloud, every
+        # fused SA layer emits its centers in ascending-index order, which is
+        # itself Morton order at every coarser grid (hierarchical Z-order) —
+        # so later layers are presorted for free, with no device re-sorts.
+        chain = self.sa_impl == "fused" and self.points_presorted
         for i in range(4):
             if self.sa_impl == "fused":
                 xyz, features, inds = FusedSetAbstraction(
@@ -249,7 +263,8 @@ class PointNetPPBackbone(nn.Module):
                     radius=self.radii[i],
                     window=self.sa_windows[i],
                     mlp_channels=self.mlps[i],
-                    presorted=(self.points_presorted if i == 0 else resort),
+                    presorted=chain,
+                    rank_order_out=chain,
                     dtype=self.dtype,
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)
@@ -263,24 +278,6 @@ class PointNetPPBackbone(nn.Module):
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)
             domain_orig = jnp.take_along_axis(domain_orig, inds.astype(jnp.int32), 1)
-            if resort and i < 3:
-                # Re-sort the surviving points by the NEXT layer's Morton
-                # grid so every fused SA layer sees presorted input and can
-                # use short windows instead of dense all-pairs
-                # (ops/fused_sa.py). A (key, iota) sort + row gathers —
-                # multi-operand feature sorts explode TPU compile time.
-                from eda_tpu.ops.fused_sa import morton_keys
-
-                keys = morton_keys(xyz, self.radii[i + 1])
-                M = keys.shape[1]
-                _, perm = jax.lax.sort(
-                    [keys, jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))],
-                    dimension=1,
-                    num_keys=1,
-                )
-                xyz = jnp.take_along_axis(xyz, perm[..., None], 1)
-                features = jnp.take_along_axis(features, perm[..., None], 1)
-                domain_orig = jnp.take_along_axis(domain_orig, perm, 1)
             end_points[f"sa{i + 1}_xyz"] = xyz
             end_points[f"sa{i + 1}_features"] = features
             end_points[f"sa{i + 1}_inds"] = domain_orig

@@ -222,7 +222,8 @@ def _hybrid_pool(statics):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "window", "block", "compute_dtype", "presorted", "impl"
+        "radius", "window", "block", "compute_dtype", "presorted", "impl",
+        "return_rank_order",
     ),
 )
 def fused_set_abstraction(
@@ -237,6 +238,7 @@ def fused_set_abstraction(
     compute_dtype=jnp.bfloat16,
     presorted: bool = False,
     impl: str = "xla",
+    return_rank_order: bool = False,
 ) -> jnp.ndarray:
     """Fused SA forward.
 
@@ -251,9 +253,18 @@ def fused_set_abstraction(
             sorts on host — device-side multi-operand sorts are expensive to
             compile and execute). Then center indices ARE ranks and no sort
             happens on device.
+        return_rank_order: also return the ascending-sorted center indices
+            and keep the outputs in that (rank) order, skipping the final
+            inverse gather. Morton order is hierarchical (the key at cell
+            size 2s is the key at cell size s shifted right by 3), so a
+            subset of a Morton-sorted cloud taken in ascending index order is
+            itself Morton-sorted at every coarser grid — callers can chain SA
+            layers without re-sorting between them.
 
     Returns:
-        (B, M, C_out) float32 pooled features, aligned with center_idx order.
+        (B, M, C_out) float32 pooled features, aligned with center_idx order;
+        with ``return_rank_order``, a tuple of (features in rank order,
+        (B, M) int32 ascending center indices).
     """
     B, N, _ = xyz.shape
     M = center_idx.shape[1]
@@ -261,12 +272,22 @@ def fused_set_abstraction(
     w1 = params.kernels[0]
     assert w1.shape[0] == 3 + C, (w1.shape, C)
 
+    if return_rank_order and not (presorted or window >= N):
+        raise ValueError(
+            "return_rank_order needs ranks to be input-domain indices, which "
+            "only holds for presorted or dense layers"
+        )
     dense = window >= N
     if dense:
         sxyz, sfeats = xyz, features
-        ranks = center_idx  # any order; windows cover everything
-        center_order = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
         window = N
+        if return_rank_order:
+            # dense windows cover everything, so order is free — emit rank
+            # order to keep the Morton chain for the next layer
+            ranks = jax.lax.sort(center_idx, dimension=1)
+        else:
+            ranks = center_idx  # any order; windows cover everything
+        center_order = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
     elif presorted:
         sxyz, sfeats = xyz, features
         # FPS over a sorted cloud returns sorted-domain indices == ranks.
@@ -311,9 +332,10 @@ def fused_set_abstraction(
         + params.biases[0].astype(compute_dtype)
     )  # (B, N, c1)
     # per-center offset b_c = -(x_c/r) @ W1[:3]
+    # in dense/presorted modes ranks ARE indices into sxyz; in the device-sort
+    # mode they are positions in the sorted domain — either way this gathers
+    # the center coordinates
     cen_xyz = jnp.take_along_axis(sxyz, jnp.clip(ranks, 0, N - 1)[..., None], axis=1)
-    if dense:
-        cen_xyz = jnp.take_along_axis(xyz, center_idx[..., None], axis=1)
     b_c = -(cen_xyz / radius).astype(compute_dtype) @ w1[:3].astype(compute_dtype)
 
     n_blocks = (M + block - 1) // block
@@ -360,10 +382,7 @@ def fused_set_abstraction(
     # is exactly pooling over (window neighborhood) U {self}, and guarantees
     # a non-degenerate output like the reference's first-hit fill
     # (ball_query_gpu.cu:38-43).
-    if dense:
-        a_self = jnp.take_along_axis(A, center_idx[..., None], axis=1)
-    else:
-        a_self = jnp.take_along_axis(A, jnp.clip(ranks[:, :M], 0, N - 1)[..., None], axis=1)
+    a_self = jnp.take_along_axis(A, jnp.clip(ranks[:, :M], 0, N - 1)[..., None], axis=1)
     h_self = _act_ln(
         a_self + b_c[:, :M], params.ln_scales[0], params.ln_biases[0]
     ).astype(compute_dtype)
@@ -373,6 +392,8 @@ def fused_set_abstraction(
         ).astype(compute_dtype)
     outs = jnp.maximum(outs, h_self.astype(jnp.float32))
 
+    if return_rank_order:
+        return outs, ranks[:, :M]
     if not dense:
         # restore center_idx order: outs currently in rank-sorted order
         inv = jnp.argsort(center_order, axis=1)
