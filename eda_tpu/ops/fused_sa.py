@@ -31,6 +31,14 @@ Deviations from the reference, both deliberate TPU-first choices:
   identical in train/eval) rather than BatchNorm — batch statistics over the
   dense masked pair grid would need multi-pass reductions that defeat the
   fusion. The gather-based exact path (``models/pointnet2.py``) keeps BN.
+* norm placement is chosen so that per-row LayerNorm stats run on the pair
+  grid as rarely as possible (measured: each pair-grid LN costs as much as
+  the whole MXU pair MLP):
+  - layer 0 pre-norms the per-point projection ``LN(A_p)`` on the (B, N)
+    point grid OUTSIDE the pair compute, then ``relu(LN(A_p) + b_c)``;
+  - interior layers keep LN+ReLU on the pair grid;
+  - the LAST layer max-pools its PRE-activations and applies LN+ReLU per
+    center afterwards (M rows, not M x W).
 """
 
 from __future__ import annotations
@@ -101,8 +109,12 @@ def _scan_pool(
 ):
     """Differentiable windowed masked-max pair MLP: scan over center blocks.
 
-    ``ranks_f`` is float (int cotangents are awkward in custom_vjp); windows
-    derive from it. Returns (B, n_blocks*block, c_out) in rank order.
+    ``A`` is the PRE-NORMALIZED per-point projection ``LN(pts @ W1 + b1)``
+    (layer 0's LN runs on the point grid outside this function); the last
+    layer's output is pooled PRE-activation, and the caller applies the final
+    LN+ReLU per center. ``ranks_f`` is float (int cotangents are awkward in
+    custom_vjp); windows derive from it. Returns (B, n_blocks*block, c_out)
+    pre-activations in rank order.
     """
     radius, W, block, n_blocks, dense, compute_dtype = statics
     r2 = radius * radius
@@ -117,17 +129,18 @@ def _scan_pool(
     @jax.checkpoint
     def block_compute(a_win, xyz_win, bc_blk, cen_blk, ln_params):
         scales, lbiases = ln_params
-        h = _act_ln(
-            a_win[:, None, :, :] + bc_blk[:, :, None, :], scales[0], lbiases[0]
+        h = jax.nn.relu(
+            a_win[:, None, :, :] + bc_blk[:, :, None, :]
         ).astype(compute_dtype)  # (B, cm, W, c1)
         for i, (k, b) in enumerate(zip(kers, bias)):
             h = h @ k + b
-            h = _act_ln(h, scales[i + 1], lbiases[i + 1]).astype(compute_dtype)
+            if i + 1 < len(kers):  # interior layers: LN+ReLU on the pair grid
+                h = _act_ln(h, scales[i], lbiases[i]).astype(compute_dtype)
         d2 = jnp.sum(
             (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
         )  # (B, cm, W)
         masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
-        return jnp.max(masked, axis=2)  # (B, cm, c_out)
+        return jnp.max(masked, axis=2)  # (B, cm, c_out) pre-activation
 
     def block_fn(_, bi):
         mid = jax.lax.dynamic_slice_in_dim(ranks, bi * block + block // 2, 1, 1)
@@ -175,10 +188,17 @@ def _hybrid_pool(statics):
         p_starts = jnp.clip(mids - W // 2, 0, N - W).astype(jnp.int32)
         if dense:
             p_starts = jnp.zeros_like(p_starts)
-        layer_params = [(k0, b0, ln_scales[0], ln_biases[0])] + [
-            (k, b, s, lb)
-            for k, b, s, lb in zip(kernels, biases, ln_scales[1:], ln_biases[1:])
-        ]
+        # ln_scales/ln_biases hold INTERIOR layers only; layer 0's LN runs on
+        # the point grid outside and the last layer's after pooling. The
+        # kernel interface still takes one (scale, bias) pair per layer (the
+        # widths derive from them), so pad the unused slots with identity.
+        layer_params = [(k0, b0, jnp.ones_like(b0), jnp.zeros_like(b0))]
+        for i, (k, b) in enumerate(zip(kernels, biases)):
+            if i < len(kernels) - 1:
+                s, lb = ln_scales[i], ln_biases[i]
+            else:
+                s, lb = jnp.ones_like(b), jnp.zeros_like(b)
+            layer_params.append((k, b, s, lb))
         return sa_pair_pool_pallas(
             A, sxyz, b_c, cen_xyz, p_starts, layer_params,
             radius=radius, window=W, block=pb, wc=wcp,
@@ -325,12 +345,16 @@ def fused_set_abstraction(
             num_keys=1,
         )
 
-    # per-point projection A = [xyz/r ; f] @ W1  (dense, MXU)
+    # per-point projection A = LN([xyz/r ; f] @ W1 + b1): layer 0's LayerNorm
+    # runs here on the (B, N) point grid — one fused XLA pass — instead of on
+    # the (M x W) pair grid, where a single LN costs as much as the whole
+    # pair MLP's matmuls (measured on v5e)
     pts_in = jnp.concatenate([sxyz / radius, sfeats], axis=-1)
     A = (
         pts_in.astype(compute_dtype) @ w1.astype(compute_dtype)
         + params.biases[0].astype(compute_dtype)
     )  # (B, N, c1)
+    A = _ln(A, params.ln_scales[0], params.ln_biases[0]).astype(compute_dtype)
     # per-center offset b_c = -(x_c/r) @ W1[:3]
     # in dense/presorted modes ranks ARE indices into sxyz; in the device-sort
     # mode they are positions in the sorted domain — either way this gathers
@@ -351,8 +375,8 @@ def fused_set_abstraction(
     diff_params = (
         tuple(params.kernels[1:]),
         tuple(params.biases[1:]),
-        tuple(params.ln_scales),
-        tuple(params.ln_biases),
+        tuple(params.ln_scales[1:-1]),  # interior pair-grid LNs only
+        tuple(params.ln_biases[1:-1]),
     )
     if impl == "pallas":
         # Pallas forward with a recompute-XLA backward (custom_vjp): the
@@ -383,14 +407,17 @@ def fused_set_abstraction(
     # a non-degenerate output like the reference's first-hit fill
     # (ball_query_gpu.cu:38-43).
     a_self = jnp.take_along_axis(A, jnp.clip(ranks[:, :M], 0, N - 1)[..., None], axis=1)
-    h_self = _act_ln(
-        a_self + b_c[:, :M], params.ln_scales[0], params.ln_biases[0]
-    ).astype(compute_dtype)
+    h_self = jax.nn.relu(a_self + b_c[:, :M]).astype(compute_dtype)
     for i, (k, b) in enumerate(zip(kers, bias)):
-        h_self = _act_ln(
-            h_self @ k + b, params.ln_scales[i + 1], params.ln_biases[i + 1]
-        ).astype(compute_dtype)
+        h_self = h_self @ k + b
+        if i + 1 < len(kers):
+            h_self = _act_ln(
+                h_self, params.ln_scales[i + 1], params.ln_biases[i + 1]
+            ).astype(compute_dtype)
     outs = jnp.maximum(outs, h_self.astype(jnp.float32))
+    # final norm + activation on the POOLED features: per center (M rows),
+    # off the pair grid entirely
+    outs = _act_ln(outs, params.ln_scales[-1], params.ln_biases[-1])
 
     if return_rank_order:
         return outs, ranks[:, :M]
@@ -404,8 +431,18 @@ def fused_set_abstraction(
 def fused_sa_reference(
     xyz, features, center_idx, params, *, radius, window, block=64
 ) -> jnp.ndarray:
-    """O(M*N) oracle with identical window semantics, for tests."""
+    """O(M*N) oracle with identical window/norm-placement semantics.
+
+    Mirrors the production function exactly: per-point pre-LN of the layer-0
+    projection, ReLU(LN(a_p) + b_c), interior LN+ReLU layers on pairs, final
+    layer pooled pre-activation, LN+ReLU per center.
+    """
     import numpy as np
+
+    def _np_ln(h, scale, bias):
+        mu = h.mean(-1, keepdims=True)
+        var = h.var(-1, keepdims=True)
+        return (h - mu) / np.sqrt(var + 1e-5) * np.asarray(scale) + np.asarray(bias)
 
     xyz = np.asarray(xyz)
     feats = np.asarray(features)
@@ -446,23 +483,30 @@ def fused_sa_reference(
                 d2 = ((xw - c) ** 2).sum(-1)
                 valid = d2 <= radius * radius
                 # neighborhood U {self}: the center itself always participates
-                dxyz = np.concatenate(
-                    [(xw[valid] - c) / radius, np.zeros((1, 3), np.float32)]
-                )
-                h = np.concatenate(
+                pts = np.concatenate(
                     [
+                        np.concatenate([xw[valid], c[None]]) / radius,
                         np.concatenate([fw[valid], feats[b, cidx[b, m]][None]]),
                     ],
                     -1,
                 )
-                h = np.concatenate([dxyz, h], -1)
-                for i, (k, bb) in enumerate(zip(params.kernels, params.biases)):
-                    h = h @ np.asarray(k) + np.asarray(bb)
-                    mu = h.mean(-1, keepdims=True)
-                    var = h.var(-1, keepdims=True)
-                    h = (h - mu) / np.sqrt(var + 1e-5) * np.asarray(
-                        params.ln_scales[i]
-                    ) + np.asarray(params.ln_biases[i])
-                    h = np.maximum(h, 0)
-                out[b, m] = h.max(0)
+                k0 = np.asarray(params.kernels[0])
+                a_p = _np_ln(
+                    pts @ k0 + np.asarray(params.biases[0]),
+                    params.ln_scales[0],
+                    params.ln_biases[0],
+                )
+                b_c = -(c / radius) @ k0[:3]
+                h = np.maximum(a_p + b_c, 0)
+                n_rest = len(params.kernels) - 1
+                for i in range(1, n_rest + 1):
+                    h = h @ np.asarray(params.kernels[i]) + np.asarray(params.biases[i])
+                    if i < n_rest:  # interior: LN+ReLU on pairs
+                        h = np.maximum(
+                            _np_ln(h, params.ln_scales[i], params.ln_biases[i]), 0
+                        )
+                pooled = h.max(0)
+                out[b, m] = np.maximum(
+                    _np_ln(pooled, params.ln_scales[-1], params.ln_biases[-1]), 0
+                )
     return jnp.asarray(out)

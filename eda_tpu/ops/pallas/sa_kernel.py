@@ -154,26 +154,29 @@ def _make_kernel(
 
             @pl.when(jnp.any(in_radius))
             def _():
+                # A arrives PRE-NORMALIZED (layer 0's LN runs on the point
+                # grid outside); the last layer's LN+ReLU runs on the pooled
+                # centers outside. Only interior layers pay pair-grid LN —
+                # measured on v5e, each pair-grid LN costs as much as the
+                # whole tile's MXU matmuls.
                 awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
                 aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
-                h = _ln_relu_masked(
-                    aw_rep + bc_rep,
-                    param_refs[2][:, :],
-                    param_refs[3][:, :],
-                    widths[0],
-                ).astype(jnp.bfloat16)
+                h = jnp.maximum(aw_rep + bc_rep, 0.0).astype(jnp.bfloat16)
                 for li in range(1, n_layers):
                     w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
                     h_pre = (
                         jnp.dot(h, w, preferred_element_type=jnp.float32)
                         + param_refs[4 * li + 1][:, :]  # (1, C_pad_out)
                     )
-                    h = _ln_relu_masked(
-                        h_pre,
-                        param_refs[4 * li + 2][:, :],
-                        param_refs[4 * li + 3][:, :],
-                        widths[li],
-                    ).astype(jnp.bfloat16)
+                    if li < n_layers - 1:
+                        h = _ln_relu_masked(
+                            h_pre,
+                            param_refs[4 * li + 2][:, :],
+                            param_refs[4 * li + 3][:, :],
+                            widths[li],
+                        ).astype(jnp.bfloat16)
+                    else:
+                        h = h_pre  # last layer: pool the f32 pre-activation
 
                 masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
                 # center-major segmented max: each center's wc rows reduce
@@ -225,13 +228,16 @@ def sa_pair_pool_pallas(
         starts: (B, M // block) int32 window starts; quantized down to
             multiples of 128 internally for DMA alignment.
         layer_params: per layer (kernel, bias, ln_scale, ln_bias). Layer 0's
-            kernel/bias are folded into A/b_c by the caller; only its LN
-            params are used here.
+            kernel/bias are folded into A/b_c by the caller and its LN runs
+            on the point grid outside (A arrives pre-normalized); the LAST
+            layer's LN+ReLU runs on the pooled centers outside. Their
+            (ln_scale, ln_bias) slots are ignored — pass identity.
 
     Returns:
-        (B, M, c_out) f32 pooled features (same center order as inputs);
-        centers with no in-radius point in their window hold -1e9 (callers
-        max in the self term, which overrides the fill).
+        (B, M, c_out) f32 pooled last-layer PRE-activations (same center
+        order as inputs); centers with no in-radius point in their window
+        hold -1e9 (callers max in the self term, which overrides the fill,
+        then apply the final LN+ReLU).
     """
     B, N, c1 = A.shape
     M = b_c.shape[1]
