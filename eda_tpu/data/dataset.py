@@ -162,7 +162,8 @@ class GroundingDataset:
         classes = np.array(
             [instance_label_to_class18(str(c)) for c in d["class"]], np.int32
         )
-        return boxes, classes
+        logits = np.asarray(d["logits"], np.float32) if "logits" in d else None
+        return boxes, classes, logits
 
     def example(self, idx: int, butd: Optional[bool] = None) -> dict:
         butd = self.butd if butd is None else butd
@@ -279,17 +280,26 @@ class GroundingDataset:
             det_boxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
             det_mask = np.zeros((MAX_NUM_OBJ,), bool)
             det_cls = np.zeros((MAX_NUM_OBJ,), np.int32)
+            # raw detector class logits, padded to the 485-class vocab like
+            # the reference's all_detected_logits
+            # (joint_det_dataset.py:42,790,822,1030) — emitted for downstream
+            # tooling; nothing in the training graph consumes them
+            det_logits = np.zeros((MAX_NUM_OBJ, 485), np.float32)
             detected = None
             if not (self.butd_gt or self.butd_cls):
                 detected = self._load_detected(anno["scan_id"])
             if detected is not None:
-                boxes, classes = detected
+                boxes, classes, logits = detected
                 if self.augment_det and self.augment:
                     boxes, classes = _corrupt_detections(rng, boxes, classes)
                 n = min(len(boxes), MAX_NUM_OBJ)
                 det_boxes[:n] = boxes[:n]
                 det_mask[:n] = True
                 det_cls[:n] = classes[:n]
+                if logits is not None:
+                    k = min(n, len(logits))
+                    c = min(logits.shape[1], det_logits.shape[1])
+                    det_logits[:k, :c] = logits[:k, :c]
             else:
                 # butd_gt / butd_cls oracle substitution
                 # (joint_det_dataset.py:951-963); plain butd without
@@ -298,9 +308,11 @@ class GroundingDataset:
                 det_boxes[:n] = scene_boxes
                 det_mask[:n] = True
                 det_cls[:n] = scene_classes
+                det_logits[np.arange(n), scene_classes] = 1.0
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask
+            inputs["det_logits"] = det_logits
 
         targets = {
             "center_label": center_label,

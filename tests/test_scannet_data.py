@@ -202,3 +202,8 @@ def test_groupfree_detected_boxes(fake_scan_dir, tmp_path, rng):
     )
     # chair -> class id 2 in the 18-class vocab
     assert ex["inputs"]["det_class_ids"][0] == 2
+    # raw detector logits pass through, padded to the 485-class vocab
+    # (reference all_detected_logits, joint_det_dataset.py:790,1030)
+    assert ex["inputs"]["det_logits"].shape == (132, 485)
+    assert ex["inputs"]["det_logits"][:2, :19].sum() == 0  # fixture zeros
+    assert ex["inputs"]["det_mask"][:2].all()
