@@ -114,8 +114,14 @@ def augment_scene(
     color: Optional[np.ndarray],
     boxes: np.ndarray,
     rotate: bool,
-) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
-    """Jointly augment points, colors, and boxes."""
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, Augmentation]:
+    """Jointly augment points, colors, and boxes.
+
+    Returns the sampled :class:`Augmentation` too so callers can transform
+    other box streams (detected GroupFree boxes) with the identical rigid
+    transform — the reference's "Match current augmentations" block
+    (``joint_det_dataset.py:825-835``).
+    """
     aug = sample_augmentation(rng, rotate)
     new_xyz = aug.apply_points(xyz)
     new_xyz = new_xyz + rng.random((len(xyz), 3)) * 5e-3
@@ -125,4 +131,4 @@ def augment_scene(
         new_color = (color + MEAN_RGB) * (
             0.98 + 0.04 * rng.random((len(color), 3))
         ) - MEAN_RGB
-    return new_xyz.astype(np.float32), new_color, new_boxes.astype(np.float32)
+    return new_xyz.astype(np.float32), new_color, new_boxes.astype(np.float32), aug

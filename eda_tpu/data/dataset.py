@@ -207,10 +207,13 @@ class GroundingDataset:
 
         gt_boxes = np.stack([scan.get_object_bbox(o) for o in obj_idxs])
 
+        aug = None
         if self.augment:
             rotate = not is_view_dependent(anno["utterance"])
             all_boxes = np.concatenate([gt_boxes, scene_boxes], 0)
-            xyz, color, all_boxes = augment_scene(rng, xyz, color, all_boxes, rotate)
+            xyz, color, all_boxes, aug = augment_scene(
+                rng, xyz, color, all_boxes, rotate
+            )
             gt_boxes = all_boxes[: len(obj_idxs)]
             scene_boxes = all_boxes[len(obj_idxs):]
             # box jitter (joint_det_dataset.py:709-710)
@@ -290,6 +293,10 @@ class GroundingDataset:
                 detected = self._load_detected(anno["scan_id"])
             if detected is not None:
                 boxes, classes, logits = detected
+                if aug is not None:
+                    # detected boxes ride the same scene transform as the
+                    # cloud / GT boxes (joint_det_dataset.py:825-835)
+                    boxes = aug.apply_boxes(boxes)
                 if self.augment_det and self.augment:
                     boxes, classes = _corrupt_detections(rng, boxes, classes)
                 n = min(len(boxes), MAX_NUM_OBJ)
@@ -308,7 +315,9 @@ class GroundingDataset:
                 det_boxes[:n] = scene_boxes
                 det_mask[:n] = True
                 det_cls[:n] = scene_classes
-                det_logits[np.arange(n), scene_classes] = 1.0
+                # det_logits stay zero: the reference's oracle substitution
+                # replaces boxes/classes only and leaves all_detected_logits
+                # as zeros (joint_det_dataset.py:951-963)
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask

@@ -110,7 +110,7 @@ class DetectionPromptDataset:
             point_instance[scan.three_d_objects[o]["points"]] = slot
 
         if self.augment and len(gt_boxes):
-            xyz, color, gt_boxes = augment_scene(rng, xyz, color, gt_boxes, True)
+            xyz, color, gt_boxes, _ = augment_scene(rng, xyz, color, gt_boxes, True)
 
         caption = utterance + " . not mentioned"
         tok = self.tokenizer.encode_batch([caption], max_len=self.text_len)

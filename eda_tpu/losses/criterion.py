@@ -19,7 +19,8 @@ Deliberate deviations from the reference:
   the reference, so it is dead compute;
 * ``num_boxes`` needs no explicit all_reduce (losses.py:637-638): under a
   global-view pjit step the sum over the sharded batch axis is already
-  global.
+  global. DDP's extra 1/world_size gradient averaging on the matched losses
+  is reproduced via ``SetCriterionConfig.num_replicas``.
 
 Target arrays expected in ``targets`` (padded to G = max objects, L = token
 positions; built by the data pipeline exactly like the reference's
@@ -55,6 +56,14 @@ class SetCriterionConfig:
     num_decoder_layers: int = 6
     dataset: str = "scanrefer"  # scanrefer | sr3d | nr3d | scannet
     use_contrastive_align: bool = True
+    # Data-parallel width used to reproduce torch DDP's gradient averaging:
+    # the reference all_reduces num_boxes (losses.py:637-638) and then DDP
+    # divides gradients by world_size, so the effective Hungarian losses
+    # (ce/bbox/giou/sem) carry an extra 1/world_size that the KPS loss (a
+    # per-replica batch mean) does not. Multiplying num_boxes by the replica
+    # count reproduces the published multi-GPU recipes' loss balance exactly
+    # at any mesh width; 1 = the single-GPU recipe.
+    num_replicas: int = 1
 
     @property
     def pos_weights(self) -> Tuple[float, float, float, float]:
@@ -210,9 +219,6 @@ def sem_align_loss(
     B, Q, L = logits.shape
     eos_ind = targets["text_lengths"].astype(jnp.int32) - 1  # (B,) index of </s>
 
-    def q_map(key):
-        return _gather_per_query(match, targets[key][..., :L]) > 0  # (B, Q, L)
-
     # Main map: unmatched queries align to the final ' . not mentioned'
     # tokens (last two positions get 0.5, losses.py:465-467).
     nm = (
@@ -222,10 +228,17 @@ def sem_align_loss(
     positive_map = (
         jnp.where(match.query_matched[:, :, None], main_f, nm) > 0
     )  # (B, Q, L) bool
-    modi_map = q_map("modify_positive_map")
-    pron_map = q_map("pron_positive_map")
-    other_map = q_map("other_entity_map")
-    rel_map = q_map("rel_positive_map")
+    # Raw row-normalized fractional maps: the reference binarizes only the
+    # main map; modi/pron/rel stay float and their raw values feed the
+    # text->object normalizer nb_pos_obj (losses.py:570-571), while the
+    # binarized versions select logits (losses.py:521-524).
+    modi_f = _gather_per_query(match, targets["modify_positive_map"][..., :L])
+    pron_f = _gather_per_query(match, targets["pron_positive_map"][..., :L])
+    rel_f = _gather_per_query(match, targets["rel_positive_map"][..., :L])
+    modi_map = modi_f > 0
+    pron_map = pron_f > 0
+    other_map = _gather_per_query(match, targets["other_entity_map"][..., :L]) > 0
+    rel_map = rel_f > 0
 
     mask = jnp.where(match.query_matched, 1.0, cfg.eos_coef)  # (B, Q)
 
@@ -270,7 +283,7 @@ def sem_align_loss(
     )  # (B, L)
     neg_term = jax.nn.logsumexp(neg_logits, axis=1)  # (B, L)
     nb_obj = (
-        positive_map.sum(1) + modi_map.sum(1) + pron_map.sum(1) + rel_map.sum(1)
+        positive_map.sum(1) + modi_f.sum(1) + pron_f.sum(1) + rel_f.sum(1)
         + 1e-6
     )
     entropy = -jnp.log(nb_obj + 1e-6) / nb_obj
@@ -299,7 +312,9 @@ def compute_hungarian_loss(
     gt_xyzxyz = box_cxcyczwhd_to_xyzxyz(gt_boxes)
     target_valid = targets["box_label_mask"] > 0
 
-    num_boxes = jnp.maximum(jnp.sum(target_valid.astype(jnp.float32)), 1.0)
+    num_boxes = jnp.maximum(
+        jnp.sum(target_valid.astype(jnp.float32)), 1.0
+    ) * float(cfg.num_replicas)
 
     pred_boxes_p = jnp.stack(
         [

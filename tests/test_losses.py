@@ -203,7 +203,9 @@ def test_sem_align_matches_reference_formula(rng):
     for b in range(B):
         tmask[b, inds[b] - 1] = 0.1
     pos_term = positive_logits.sum(1) + modi_pos.sum(1) + pron_pos.sum(1) + rel_pos.sum(1)
-    nb_obj = posb.sum(1) + modib.sum(1) + pronb.sum(1) + relb.sum(1) + 1e-6
+    # reference nb_pos_obj sums RAW fractional modi/pron/rel maps; only the
+    # main map is binarized (losses.py:570-571 vs :474)
+    nb_obj = posb.sum(1) + modi.sum(1) + pron.sum(1) + rel.sum(1) + 1e-6
     entropy = -np.log(nb_obj + 1e-6) / nb_obj
     t2b = entropy + pos_term / nb_obj + lse(negative_logits, 1)
     t2b = np.where(tokens_with_pos, t2b, 0.0)
@@ -299,3 +301,21 @@ def test_full_loss_runs_and_is_finite(rng):
     assert np.isfinite(float(loss))
     assert np.isfinite(float(metrics["loss_sem_align"]))
     assert float(metrics["query_points_generation_loss"]) >= 0
+
+    # num_replicas reproduces DDP gradient averaging: matched losses scale
+    # by 1/W, the KPS loss (a batch mean in the reference) does not
+    cfg4 = SetCriterionConfig(
+        num_decoder_layers=2, dataset="scanrefer", num_replicas=4
+    )
+    loss4, metrics4 = compute_hungarian_loss(cfg4, end_points, to_jnp(targets))
+    np.testing.assert_allclose(
+        float(metrics4["loss_ce"]), float(metrics["loss_ce"]) / 4, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics4["loss_giou"]), float(metrics["loss_giou"]) / 4, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics4["query_points_generation_loss"]),
+        float(metrics["query_points_generation_loss"]),
+        rtol=1e-6,
+    )

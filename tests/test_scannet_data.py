@@ -207,3 +207,46 @@ def test_groupfree_detected_boxes(fake_scan_dir, tmp_path, rng):
     assert ex["inputs"]["det_logits"].shape == (132, 485)
     assert ex["inputs"]["det_logits"][:2, :19].sum() == 0  # fixture zeros
     assert ex["inputs"]["det_mask"][:2].all()
+
+
+def test_detected_boxes_follow_augmentation(fake_scan_dir, tmp_path):
+    """Detected GroupFree boxes ride the same scene augmentation as the
+    cloud / GT boxes (joint_det_dataset.py:825-835): the chair detection
+    fixture equals the chair GT box, so after augmentation the det box must
+    still cover the slot-0 (chair) points."""
+    scan_dir, scan_id = fake_scan_dir
+    scan = Scan(scan_id, scan_dir)
+    det_dir = tmp_path / "group_free_pred_bboxes" / "group_free_pred_bboxes_train"
+    det_dir.mkdir(parents=True)
+    chair_box = scan.get_object_bbox(0)  # cxcyczwhd
+    corners = np.concatenate(
+        [chair_box[:3] - chair_box[3:] / 2, chair_box[:3] + chair_box[3:] / 2]
+    )[None].astype(np.float32)
+    np.save(
+        det_dir / f"{scan_id}.npy",
+        {"box": corners, "class": ["chair"], "logits": np.zeros((1, 19))},
+    )
+    from eda_tpu.data.decouple import decoupled_spans
+
+    annos = [
+        {
+            "scan_id": scan_id, "target_id": 0, "distractor_ids": [],
+            "utterance": "the chair", "target": "chair", "anchors": [],
+            "anchor_ids": [], "dataset": "scanrefer",
+            "decoupled": decoupled_spans("the chair . not mentioned"),
+        }
+    ]
+    ds = GroundingDataset(
+        {scan_id: scan}, annos, split="train", augment=True, butd=True,
+        vocab_size=512, seed=3,
+        detected_dir=str(tmp_path / "group_free_pred_bboxes"),
+    )
+    ex = ds.example(0)
+    det = ex["inputs"]["det_boxes"][0]
+    inst = ex["targets"]["point_instance_label"]
+    chair_xyz = ex["inputs"]["point_clouds"][inst == 0, :3]
+    # GT box in targets is jittered (x0.95-1.05); the det box is not, so it
+    # must cover the augmented chair points up to the 5e-3 point noise.
+    assert (np.abs(chair_xyz - det[:3]) <= det[3:] / 2 + 1e-2).all()
+    # and it must NOT equal the unaugmented original
+    assert not np.allclose(det, chair_box, atol=1e-3)

@@ -226,6 +226,9 @@ def main(argv=None):
         query_points_obj_topk=args.query_points_obj_topk,
         dataset=args.dataset[0] if args.dataset[0] != "synthetic" else "scanrefer",
         use_contrastive_align=model_cfg.contrastive_align,
+        # reproduce DDP's per-replica gradient averaging so the published
+        # multi-GPU recipes' loss balance transfers to any mesh width
+        num_replicas=n_dev,
     )
     tx = make_optimizer(train_cfg, variables["params"], steps_per_epoch)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
