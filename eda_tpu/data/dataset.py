@@ -65,7 +65,7 @@ class GroundingDataset:
         butd: bool = False,
         butd_gt: bool = False,
         butd_cls: bool = False,
-        text_len: int = 64,
+        text_len: int = MAX_TOKENS,  # reference caps at 256 (joint_det_dataset.py:560)
         tokenizer=None,
         vocab_size: int = 50265,
         seed: int = 0,
@@ -109,6 +109,10 @@ class GroundingDataset:
                     wo_obj_name=getattr(args, "wo_obj_name", None),
                 )
             )
+        # the real RoBERTa tokenizer when {data_root}/roberta-base exists
+        # (ref bdetr.py:76-78); hash tokenizer otherwise
+        tok_path = osp.join(args.data_root, "roberta-base")
+        tokenizer = make_tokenizer(tok_path if osp.isdir(tok_path) else None)
         return cls(
             scans,
             annos,
@@ -119,6 +123,7 @@ class GroundingDataset:
             butd=args.butd,
             butd_gt=args.butd_gt,
             butd_cls=args.butd_cls,
+            tokenizer=tokenizer,
             augment_det=getattr(args, "augment_det", False),
             detected_dir=osp.join(args.data_root, "group_free_pred_bboxes"),
         )

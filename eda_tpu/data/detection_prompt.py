@@ -40,7 +40,7 @@ class DetectionPromptDataset:
         split: str = "train",
         use_color: bool = True,
         augment: bool = True,
-        text_len: int = 64,
+        text_len: int = 256,  # match GroundingDataset's bucket (cap at 256)
         tokenizer=None,
         vocab_size: int = 50265,
         seed: int = 0,

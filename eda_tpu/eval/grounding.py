@@ -68,10 +68,17 @@ def _score_and_iou(end_points: dict, targets: dict, *, prefix: str, mode: str, t
         - comp("other_entity_map")
     )  # (B, Q)
 
-    if "detected_filter" in targets:
-        # butd_cls mode: zero out predictions not overlapping any detected GT
-        # box (grounding_evaluator.py:166-175)
-        scores = scores * targets["detected_filter"]
+    if "__det_boxes" in targets:
+        # butd_cls protocol: zero the scores of predictions that do not
+        # overlap (IoU > 0.25) any valid detected box — the reference's
+        # filter_non_gt_boxes branch (grounding_evaluator.py:166-175,210).
+        iou_dp, _ = pairwise_box_iou_3d(
+            box_cxcyczwhd_to_xyzxyz(targets["__det_boxes"]),
+            box_cxcyczwhd_to_xyzxyz(pred_bbox),
+        )  # (B, D, Q)
+        iou_dp = jnp.where(targets["__det_mask"][:, :, None], iou_dp, 0.0)
+        is_correct = (jnp.max(iou_dp, axis=1) > 0.25).astype(scores.dtype)
+        scores = scores * is_correct
 
     k = min(topk, scores.shape[-1])
     _, top = jax.lax.top_k(scores, k)  # (B, k)
@@ -101,11 +108,15 @@ class GroundingEvaluator:
         thresholds: Sequence[float] = (0.25, 0.5),
         topks: Sequence[int] = (1, 5, 10),
         modes: Sequence[str] = ("bbs", "bbf"),
+        filter_non_gt_boxes: bool = False,
     ):
         self.prefixes = tuple(prefixes)
         self.thresholds = tuple(thresholds)
         self.topks = tuple(topks)
         self.modes = tuple(modes)
+        # butd_cls protocol: drop predictions with no detected-box overlap
+        # (reference ctor flag, src/grounding_evaluator.py:29-56)
+        self.filter_non_gt_boxes = filter_non_gt_boxes
         self.dets: Dict = {}
         self.gts: Dict = {}
         self.reset()
@@ -124,21 +135,45 @@ class GroundingEvaluator:
             self.dets[key] = 0
             self.gts[key] = 0
 
-    def evaluate(self, end_points: dict, targets: dict, hardness: Optional[dict] = None):
+    def evaluate(
+        self,
+        end_points: dict,
+        targets: dict,
+        hardness: Optional[dict] = None,
+        valid: Optional[np.ndarray] = None,
+        inputs: Optional[dict] = None,
+    ):
         """Accumulate one batch. ``hardness``: optional bool arrays (B,) keyed
-        is_view_dep / is_hard / is_unique (``joint_det_dataset.py:1031-1033``)."""
+        is_view_dep / is_hard / is_unique (``joint_det_dataset.py:1031-1033``).
+        ``valid``: optional bool (B,) marking real samples — a padded tail
+        batch (full-split eval with a fixed jit batch size) contributes only
+        its real rows to the counters. ``inputs``: the model inputs dict;
+        needed (det_boxes/det_mask) when ``filter_non_gt_boxes`` is set."""
+        if (
+            self.filter_non_gt_boxes
+            and inputs is not None
+            and "det_boxes" in inputs
+        ):
+            targets = {
+                **targets,
+                "__det_boxes": inputs["det_boxes"],
+                "__det_mask": inputs["det_mask"],
+            }
         for prefix in self.prefixes:
             for mode in self.modes:
                 ious = np.asarray(
                     _score_and_iou(end_points, targets, prefix=prefix, mode=mode)
                 )  # (B, 10)
                 B = ious.shape[0]
+                vmask = (
+                    np.ones(B, bool) if valid is None else np.asarray(valid, bool)
+                )
                 for t in self.thresholds:
                     hit = ious > t
                     for k in self.topks:
-                        found = hit[:, :k].any(1)
+                        found = hit[:, :k].any(1) & vmask
                         self.dets[(prefix, t, k, mode)] += int(found.sum())
-                        self.gts[(prefix, t, k, mode)] += B
+                        self.gts[(prefix, t, k, mode)] += int(vmask.sum())
                         if (
                             mode == "bbf"
                             and prefix == "last_"
@@ -147,19 +182,22 @@ class GroundingEvaluator:
                         ):
                             suffix = "" if t == self.thresholds[0] else "50"
                             if t in (self.thresholds[0], self.thresholds[1]):
-                                self._breakdown(found, hardness, suffix)
+                                self._breakdown(found, hardness, suffix, vmask)
 
-    def _breakdown(self, found: np.ndarray, hardness: dict, suffix: str):
+    def _breakdown(
+        self, found: np.ndarray, hardness: dict, suffix: str, vmask: np.ndarray
+    ):
         for flag, yes, no in (
             ("is_view_dep", "vd", "vid"),
             ("is_hard", "hard", "easy"),
             ("is_unique", "unique", "multi"),
         ):
-            mask = np.asarray(hardness[flag]).astype(bool)
+            mask = np.asarray(hardness[flag]).astype(bool) & vmask
+            inv = ~np.asarray(hardness[flag]).astype(bool) & vmask
             self.dets[yes + suffix] += int(found[mask].sum())
             self.gts[yes + suffix] += int(mask.sum())
-            self.dets[no + suffix] += int(found[~mask].sum())
-            self.gts[no + suffix] += int((~mask).sum())
+            self.dets[no + suffix] += int(found[inv].sum())
+            self.gts[no + suffix] += int(inv.sum())
 
     def merge(self, other: "GroundingEvaluator"):
         """Cross-process reduction: plain counter sum."""

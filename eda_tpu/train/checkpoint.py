@@ -87,6 +87,8 @@ def load_torch_checkpoint(path: str) -> dict:
     for key, value in state.items():
         if key.startswith("module."):
             key = key[len("module."):]
-        if hasattr(value, "numpy"):
-            out[key] = np.asarray(value.numpy())
+        if torch.is_tensor(value):
+            out[key] = np.asarray(value.detach().cpu().numpy())
+        elif isinstance(value, np.ndarray):
+            out[key] = value
     return out

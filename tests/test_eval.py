@@ -86,6 +86,41 @@ def test_grounding_evaluator_bad_predictions(rng):
     assert ev.accuracy("last_", 0.25, 10, "bbs") == 0.0
 
 
+def test_butd_cls_filter_flips_hit_to_miss(rng):
+    """filter_non_gt_boxes (SR3D/NR3D protocol): a top-1 hit whose predicted
+    box overlaps no detected box is zeroed out of the ranking
+    (grounding_evaluator.py:166-175)."""
+    end_points, targets = make_eval_case(rng, perfect=True)
+    # detected boxes cover only a far-away corner: no pred overlaps them
+    det_boxes = np.zeros((B, 4, 6), np.float32)
+    det_boxes[:, :, :3] = -50.0
+    det_boxes[:, :, 3:] = 0.5
+    det_mask = np.ones((B, 4), bool)
+    inputs = {"det_boxes": jnp.asarray(det_boxes), "det_mask": jnp.asarray(det_mask)}
+
+    ev = GroundingEvaluator(prefixes=("last_",), filter_non_gt_boxes=True)
+    ev.evaluate(end_points, targets, inputs=inputs)
+    # the correct query is filtered: its score collapses to 0, ties with the
+    # other filtered queries, and the GT box is no longer guaranteed top-1
+    assert ev.accuracy("last_", 0.5, 1, "bbs") == 0.0
+
+    # with a detected box covering the GT, the hit survives the filter
+    det_boxes2 = det_boxes.copy()
+    det_boxes2[:, 0, :3] = np.asarray(targets["center_label"])[:, 0]
+    det_boxes2[:, 0, 3:] = np.asarray(targets["size_gts"])[:, 0]
+    ev2 = GroundingEvaluator(prefixes=("last_",), filter_non_gt_boxes=True)
+    ev2.evaluate(
+        end_points, targets,
+        inputs={"det_boxes": jnp.asarray(det_boxes2), "det_mask": jnp.asarray(det_mask)},
+    )
+    assert ev2.accuracy("last_", 0.25, 1, "bbs") == 1.0
+
+    # without the flag, inputs are ignored and the hit counts
+    ev3 = GroundingEvaluator(prefixes=("last_",))
+    ev3.evaluate(end_points, targets, inputs=inputs)
+    assert ev3.accuracy("last_", 0.25, 1, "bbs") == 1.0
+
+
 def test_grounding_evaluator_merge(rng):
     e1, t1 = make_eval_case(rng, perfect=True)
     ev1 = GroundingEvaluator(prefixes=("last_",))

@@ -78,14 +78,24 @@ def parse_args(argv=None):
     p.add_argument("--print_freq", type=int, default=10)
     # run mode
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_train", action="store_true",
+                   help="evaluate on the train split (implies --eval, main_utils.py:115,122)")
+    p.add_argument("--reduce_lr", action="store_true",
+                   help="resume params but not optimizer state, restarting the LR schedule (main_utils.py:117,136)")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host batch-assembly threads (reference DataLoader workers)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None, help="cap steps (smoke runs)")
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--profile", type=int, default=0,
+                   help="trace N train steps with jax.profiler into LOG_DIR/profile")
     p.add_argument("--cpu", action="store_true", help="force host CPU backend")
     p.add_argument("--wo_obj_name", default=None,
                    help="alternative ScanRefer annotations without object names (eval variant)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    args.eval = args.eval or args.eval_train  # main_utils.py:122
+    return args
 
 
 def build_configs(args):
@@ -140,9 +150,43 @@ def build_configs(args):
     return model, train, data
 
 
-def make_loader(args, model_cfg, split: str):
+def prefetch_batches(gen, index_chunks, butd, num_workers):
+    """Assemble batches on background threads (the reference's DataLoader
+    ``num_workers`` CPU processes, ``main_utils.py:229-236``). Dataset batch
+    assembly is pure numpy keyed only by the indices, so a thread pool with a
+    bounded in-flight queue reproduces the pipeline overlap."""
+    if num_workers <= 0:
+        for idx in index_chunks:
+            yield gen.batch(idx, butd=butd)
+        return
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        pending = collections.deque()
+        it = iter(index_chunks)
+        for _ in range(num_workers * 2):
+            try:
+                pending.append(pool.submit(gen.batch, next(it), butd=butd))
+            except StopIteration:
+                break
+        while pending:
+            batch = pending.popleft().result()
+            try:
+                pending.append(pool.submit(gen.batch, next(it), butd=butd))
+            except StopIteration:
+                pass
+            yield batch
+
+
+def make_loader(args, model_cfg, split: str, for_eval: bool = False):
     """Dataset factory. Synthetic works everywhere; ScanNet datasets need
-    packed scans + annotation files under --data_root."""
+    packed scans + annotation files under --data_root.
+
+    ``for_eval`` suppresses the --joint_det detection-prompt mixing even on
+    the train split (the reference's test loader never mixes,
+    ``train_dist_mod.py:72-75``) — needed for --eval_train.
+    """
     from eda_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
 
     if args.dataset == ["synthetic"]:
@@ -161,7 +205,7 @@ def make_loader(args, model_cfg, split: str):
     from eda_tpu.data.dataset import GroundingDataset  # real-data path
 
     ds = GroundingDataset.from_args(args, split)
-    if args.joint_det and split == "train":
+    if args.joint_det and split == "train" and not for_eval:
         # mix in scannet detection prompts at 10x (train_dist_mod.py:50-51)
         from eda_tpu.data.detection_prompt import (
             DetectionPromptDataset,
@@ -171,6 +215,7 @@ def make_loader(args, model_cfg, split: str):
         det = DetectionPromptDataset(
             ds.scans, split=split, use_color=args.use_color,
             augment=getattr(args, "augment", True),
+            tokenizer=ds.tokenizer,  # shared vocab with the grounding data
         )
         ds = MixedDataset([ds, det], multipliers=[1, 10])
     return ds, len(ds)
@@ -194,6 +239,7 @@ def main(argv=None):
     from eda_tpu.train import TrainState, make_optimizer, make_train_step
     from eda_tpu.train.checkpoint import CheckpointManager
     from eda_tpu.utils.logger import setup_logger
+    from eda_tpu.utils.metrics import MetricWriter
 
     model_cfg, train_cfg, data_cfg = build_configs(args)
     os.makedirs(args.log_dir, exist_ok=True)
@@ -204,7 +250,13 @@ def main(argv=None):
             {k: v for k, v in vars(args).items()}, f, indent=2, default=str
         )
 
-    gen, n_train = make_loader(args, model_cfg, "train")
+    if args.eval:
+        # eval-only never builds the train pipeline (main_utils.py:226-227)
+        eval_split = "train" if args.eval_train else "val"
+        gen, n_train = make_loader(args, model_cfg, eval_split, for_eval=True)
+        _EVAL_CACHE[("loader", eval_split)] = (gen, n_train)
+    else:
+        gen, n_train = make_loader(args, model_cfg, "train")
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
     global_batch = max(args.batch_size, n_dev)
@@ -221,6 +273,20 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     logger.info("params: %.1fM", n_params / 1e6)
 
+    # external pretrained inputs: GroupFree backbone, RoBERTa weights, butd
+    # class-embedding table (ref bdetr.py:63-95)
+    from eda_tpu.train.convert import load_eda_pth, warm_start
+
+    params0, stats0 = warm_start(
+        variables["params"],
+        variables["batch_stats"],
+        model_cfg,
+        pp_checkpoint=args.pp_checkpoint,
+        data_root=args.data_root,
+        log=logger.info,
+    )
+    variables = {"params": params0, "batch_stats": stats0}
+
     crit = SetCriterionConfig(
         num_decoder_layers=model_cfg.num_decoder_layers,
         query_points_obj_topk=args.query_points_obj_topk,
@@ -236,33 +302,68 @@ def main(argv=None):
     ckpt = CheckpointManager(
         os.path.join(args.log_dir, "ckpt"), save_freq=args.save_freq
     )
-    if args.checkpoint_path:
+    restore_opt = not (args.eval or args.reduce_lr)  # main_utils.py:136
+    if args.checkpoint_path and args.checkpoint_path.endswith((".pth", ".pt")):
+        # released reference checkpoint: accuracy-parity protocol
+        params, stats, start_epoch = load_eda_pth(
+            args.checkpoint_path, state.params, state.batch_stats, model_cfg,
+            log=logger.info,
+        )
+        state = state.replace(params=params, batch_stats=stats)
+    elif args.checkpoint_path:
         mgr = CheckpointManager(args.checkpoint_path, save_freq=args.save_freq)
-        state, start_epoch = mgr.restore(state, restore_optimizer=not args.eval)
+        state, start_epoch = mgr.restore(state, restore_optimizer=restore_opt)
     else:
-        state, start_epoch = ckpt.restore(state)
+        state, start_epoch = ckpt.restore(state, restore_optimizer=restore_opt)
     if start_epoch:
         logger.info("resumed from epoch %d", start_epoch)
+
+    writer = MetricWriter(args.log_dir)
+
+    # eval-only: evaluate the full test split and end execution
+    # (main_utils.py:356-362, driven by scripts/test_*.sh)
+    if args.eval:
+        logger.info("Testing evaluation (eval-only mode)...")
+        evaluate(args, model, crit, state, model_cfg, logger,
+                 writer=writer, step=int(state.step))
+        writer.close()
+        return 0
 
     step_fn = make_train_step(model, crit, donate=False)
     rng = jax.random.key(train_cfg.seed)
     order_rng = np.random.default_rng(train_cfg.seed)
 
+    profile_left = args.profile
+    if profile_left:
+        jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
+
     total_steps = 0
     for epoch in range(start_epoch, args.max_epoch):
         t_ep = time.time()
         order = order_rng.permutation(n_train)
-        losses = []
+        chunks = []
         for it in range(steps_per_epoch):
             idx = order[(it * global_batch) % n_train:][:global_batch]
             if len(idx) < global_batch:
                 idx = np.concatenate([idx, order[: global_batch - len(idx)]])
-            batch = jax.tree_util.tree_map(
-                jnp.asarray, gen.batch(idx, butd=model_cfg.butd)
-            )
+            chunks.append(idx)
+        losses = []
+        for it, batch_np in enumerate(
+            prefetch_batches(gen, chunks, model_cfg.butd, args.num_workers)
+        ):
+            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
             batch = shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch, rng)
             total_steps += 1
+            if profile_left:
+                jax.block_until_ready(metrics["loss"])
+                profile_left -= 1
+                if profile_left == 0:
+                    jax.profiler.stop_trace()
+                    logger.info(
+                        "profile trace written to %s",
+                        os.path.join(args.log_dir, "profile"),
+                    )
             if it % args.print_freq == 0:
                 loss = float(metrics["loss"])
                 losses.append(loss)
@@ -273,9 +374,24 @@ def main(argv=None):
                     float(metrics["loss_ce"]), float(metrics["loss_bbox"]),
                     float(metrics["loss_giou"]), float(metrics["loss_sem_align"]),
                 )
+                # train_loss scalar group (record_tensorboard.py:33-52)
+                writer.write(
+                    total_steps,
+                    {
+                        k: float(metrics[k])
+                        for k in (
+                            "loss", "loss_ce", "loss_bbox", "loss_giou",
+                            "loss_sem_align", "query_points_generation_loss",
+                            "grad_norm",
+                        )
+                        if k in metrics
+                    },
+                    group="train",
+                )
             if args.max_steps and total_steps >= args.max_steps:
                 logger.info("max_steps reached")
                 ckpt.save(epoch, state, force=True)
+                writer.close()
                 return 0
         logger.info(
             "epoch %d done in %.1fs (mean loss %.4f)",
@@ -284,13 +400,24 @@ def main(argv=None):
         ckpt.save(epoch, state)
 
         if (epoch + 1) % args.val_freq == 0 or epoch == args.max_epoch - 1:
-            evaluate(args, model, crit, state, model_cfg, logger)
+            evaluate(args, model, crit, state, model_cfg, logger,
+                     writer=writer, step=total_steps)
 
     ckpt.save(args.max_epoch - 1, state, force=True)
+    writer.close()
     return 0
 
 
-def evaluate(args, model, crit, state, model_cfg, logger):
+_EVAL_CACHE = {}
+
+
+def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
+    """Full-split grounding evaluation (reference evaluate_one_epoch,
+    train_dist_mod.py:129-199 + main_utils.py:529-565).
+
+    The whole test split is scored: the tail batch is padded up to the jit
+    batch size and the padding rows are masked out of the counters.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -300,18 +427,53 @@ def evaluate(args, model, crit, state, model_cfg, logger):
     if args.test_dataset == "scannet":
         return evaluate_detection(args, model, state, model_cfg, logger)
 
-    gen, n_val = make_loader(args, model_cfg, "val")
-    n_val = min(n_val, 256)
-    eval_fn = make_eval_step(model)
-    evaluator = GroundingEvaluator(prefixes=("last_", "proposal_"))
+    split = "train" if args.eval_train else "val"
+    cache_key = ("loader", split)
+    if cache_key not in _EVAL_CACHE:
+        _EVAL_CACHE[cache_key] = make_loader(args, model_cfg, split, for_eval=True)
+    if "eval_fn" not in _EVAL_CACHE:
+        _EVAL_CACHE["eval_fn"] = make_eval_step(model)
+    gen, n_val = _EVAL_CACHE[cache_key]
+    eval_fn = _EVAL_CACHE["eval_fn"]
+    evaluator = GroundingEvaluator(
+        prefixes=("last_", "proposal_"),
+        # SR3D/NR3D protocol: predictions must overlap a detected box
+        # (train_dist_mod.py:157-161 passes args.butd_cls)
+        filter_non_gt_boxes=args.butd_cls,
+    )
     bsz = max(args.batch_size, 1)
-    for start in range(0, n_val - bsz + 1, bsz):
-        batch_np = gen.batch(range(start, start + bsz), butd=model_cfg.butd)
+    chunks, valids = [], []
+    for start in range(0, n_val, bsz):
+        idx = np.arange(start, min(start + bsz, n_val))
+        valid = np.ones(bsz, bool)
+        if len(idx) < bsz:  # pad the tail batch; mask padded rows
+            valid[len(idx):] = False
+            idx = np.concatenate([idx, np.zeros(bsz - len(idx), np.int64)])
+        chunks.append(idx)
+        valids.append(valid)
+    for batch_np, valid in zip(
+        prefetch_batches(gen, chunks, model_cfg.butd, args.num_workers), valids
+    ):
         hardness = batch_np.pop("hardness", None)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         end_points, _ = eval_fn(state.params, state.batch_stats, batch)
-        evaluator.evaluate(end_points, batch["targets"], hardness)
+        evaluator.evaluate(
+            end_points, batch["targets"], hardness, valid=valid,
+            inputs=batch["inputs"],
+        )
     logger.info("\n%s", evaluator.print_stats())
+    if writer is not None:
+        writer.write(
+            step,
+            {
+                f"{prefix}Acc{t}Top{k}_{mode}": evaluator.accuracy(prefix, t, k, mode)
+                for prefix in ("last_",)
+                for t in (0.25, 0.5)
+                for k in (1, 5, 10)
+                for mode in ("bbs", "bbf")
+            },
+            group="val",
+        )
     return evaluator
 
 
