@@ -7,8 +7,9 @@ Produce the reference's anno dict schema (``src/joint_det_dataset.py:158-409``):
 
 All loaders run the text decoupler once per annotation at load time, exactly
 like ``Scene_graph_parse`` does for the reference (``:1310-1399``), storing
-the span groups under ``decoupled``. Typo normalization mirrors the big
-replace tables at ``:1313-1373`` in spirit (whitespace + comma splitting).
+the span groups under ``decoupled``. Typo normalization ports the literal
+replace tables at ``:1313-1373`` (ScanRefer fixes for every dataset, the
+NR3D-only punctuation/contraction table gated on the dataset name).
 """
 
 from __future__ import annotations
@@ -24,15 +25,53 @@ from eda_tpu.data.decouple import decoupled_spans
 
 MAX_DISTRACTORS = 32
 
+# ScanRefer typo fixes, applied to every dataset
+# (joint_det_dataset.py:1315-1329)
+SCANREFER_FIXES = (
+    ("'m", "am"), ("'s", "is"), ("2-tiered", "2 - tiered"),
+    ("4-drawers", "4 - drawers"), ("5-drawer", "5 - drawer"),
+    ("8-hole", "8 - hole"), ("7-shaped", "7 - shaped"),
+    ("2-door", "2 - door"), ("3-compartment", "3 - compartment"),
+    ("computer/", "computer /"), ("3-tier", "3 - tier"),
+    ("3-seater", "3 - seater"), ("4-seat", "4 - seat"),
+    ("theses", "these"),
+)
 
-def normalize_utterance(utterance: str) -> str:
-    """Whitespace/comma normalization (``joint_det_dataset.py:579``)."""
-    return " ".join(utterance.replace(",", " ,").split())
+# NR3D-only punctuation/contraction fixes (joint_det_dataset.py:1331-1373);
+# order matters — each entry re-splits on whitespace like the reference.
+NR3D_FIXES = (
+    (".", " ."), (";", " ; "), ("-", " "), ('"', " "), ("?", " "),
+    ("*", " "), (":", " "), ("$", " "), ("#", " "), ("/", " / "),
+    ("you're", "you are"), ("isn't", "is not"), ("thats", "that is"),
+    ("doesn't", "does not"), ("doesnt", "does not"), ("itis", "it is"),
+    ("left-hand", "left - hand"), ("[", " [ "), ("]", " ] "),
+    ("(", " ( "), (")", " ) "), ("wheel-chair", "wheel - chair"),
+    (";s", "is"), ("tha=e", "the"), ("it’s", "it is"),
+    ("’s", " is"), ("isnt", "is not"), ("Don't", "Do not"),
+    ("arent", "are not"), ("cant", "can not"), ("you’re", "you are"),
+    ("!", " !"), ("id the", " , the"), ("youre", "you are"), ("'", " "),
+)
+
+
+def normalize_utterance(utterance: str, dataset: str = "scanrefer") -> str:
+    """Whitespace/comma normalization + the reference's literal typo tables
+    (``joint_det_dataset.py:1313-1373``). Wrong char offsets here silently
+    corrupt the positive maps, so the tables are ported verbatim."""
+    caption = " ".join(utterance.replace(",", " , ").split())
+    for old, new in SCANREFER_FIXES:
+        caption = " ".join(caption.replace(old, new).split())
+    if dataset == "nr3d":
+        for old, new in NR3D_FIXES:
+            caption = " ".join(caption.replace(old, new).split())
+        caption = caption.strip("'") or caption
+    return caption
 
 
 def _decouple(annos: List[dict]) -> List[dict]:
     for anno in annos:
-        utterance = normalize_utterance(anno["utterance"])
+        utterance = normalize_utterance(
+            anno["utterance"], anno.get("dataset", "scanrefer")
+        )
         spans = decoupled_spans(utterance)
         if not spans["main"]:
             # retry with a generic prefix (joint_det_dataset.py:1380-1387)
@@ -105,13 +144,20 @@ def load_sr3d(data_path: str, split: str, plus: bool = False) -> List[dict]:
 
 
 def load_nr3d(data_path: str, split: str) -> List[dict]:
-    """NR3D CSV annotations (``joint_det_dataset.py:191-239``)."""
+    """NR3D CSV annotations (``joint_det_dataset.py:191-239``).
+
+    The val split keeps only ``correct_guess`` rows; train keeps every row
+    (reference: ``correct_guess or split != 'test'``, :216-222). Distractors
+    are filled in later from the scans by fine-grained instance type
+    (:226-235) — see :func:`compute_scanrefer_flags`.
+    """
     path = osp.join(data_path, "refer_it_3d", f"nr3d_{split}.csv")
     annos = []
     with open(path, newline="") as f:
         for row in csv.DictReader(f):
-            if row.get("correct_guess", "True") not in ("True", "true", "1"):
-                pass  # kept: the reference keeps all train rows
+            correct = str(row.get("correct_guess", "True")).lower() == "true"
+            if split in ("val", "test") and not correct:
+                continue
             annos.append(
                 {
                     "scan_id": row["scan_id"],
@@ -130,8 +176,16 @@ def load_nr3d(data_path: str, split: str) -> List[dict]:
 def compute_scanrefer_flags(
     annos: List[dict], scans: Dict, label_to_class18
 ) -> None:
-    """Distractors + unique/multi flags in place
-    (``joint_det_dataset.py:295-330``).
+    """Per-dataset distractors + unique/multi flags, in place.
+
+    Dataset-conditional like the reference:
+
+    * scanrefer — 18-class-equality distractors capped at 32 + the
+      unique/multi flag (``joint_det_dataset.py:295-330``);
+    * nr3d — fine-grained distractors: objects whose raw ``instance_label``
+      equals the annotation's ``target`` instance type
+      (``joint_det_dataset.py:226-235``);
+    * sr3d / sr3d+ — distractor_ids come from the CSV and are left alone.
 
     label_to_class18: callable(instance_label) -> 18-way class id.
     """
@@ -141,12 +195,22 @@ def compute_scanrefer_flags(
         scan = scans.get(anno["scan_id"])
         if scan is None:
             continue
-        labels = [
-            label_to_class18(o["instance_label"]) for o in scan.three_d_objects
-        ]
         tgt_idx = scan.object_by_id(anno["target_id"])
         if tgt_idx is None:
             continue
+        dataset = anno.get("dataset", "scanrefer")
+        if dataset == "nr3d":
+            anno["distractor_ids"] = [
+                i
+                for i, o in enumerate(scan.three_d_objects)
+                if o["instance_label"] == anno["target"] and i != tgt_idx
+            ]
+            continue
+        if dataset != "scanrefer":
+            continue  # sr3d: CSV-provided distractors
+        labels = [
+            label_to_class18(o["instance_label"]) for o in scan.three_d_objects
+        ]
         anno["distractor_ids"] = [
             i
             for i in range(len(labels))
@@ -156,6 +220,8 @@ def compute_scanrefer_flags(
             used[anno["scan_id"]].add(anno["target_id"])
             scene2obj[anno["scan_id"]].append(labels[tgt_idx])
     for anno in annos:
+        if anno.get("dataset", "scanrefer") != "scanrefer":
+            continue
         scan = scans.get(anno["scan_id"])
         if scan is None:
             continue

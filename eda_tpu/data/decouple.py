@@ -235,6 +235,21 @@ def parse(caption: str) -> ParseResult:
     ]
 
     if main_i is None:
+        # hard-coded fallbacks for nouns the parser misses: 'trash can',
+        # 'urinal', 'cardboard' become the main entity
+        # (spacy_parser.py:389-432). The vocab usually classifies these as
+        # object nouns already; this guards utterances where tagging failed.
+        for i, t in enumerate(toks):
+            if t.lower == "trash" and i + 1 < len(toks) and toks[i + 1].lower == "can":
+                main = Node(0, "Object")
+                main.target_char_span = [span(i), span(i + 1)]
+                main.rel_char_span = list(relations)
+                return ParseResult([main], relations)
+            if t.lower in ("urinal", "cardboard"):
+                main = Node(0, "Object")
+                main.target_char_span = [span(i)]
+                main.rel_char_span = list(relations)
+                return ParseResult([main], relations)
         return ParseResult(nodes, relations)
 
     main_chunk = chunks[main_i]

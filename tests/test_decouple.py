@@ -74,6 +74,92 @@ def test_decoupler_golden(caption, expected):
         assert words(caption, got[key]) == want, (key, words(caption, got[key]))
 
 
+# Regression corpus over representative ScanRefer/SR3D/NR3D-style utterances
+# (relative clauses, coref, view-dependent phrasing, the reference's
+# hard-coded fallback nouns, NR3D typo text). Each entry is
+# (dataset, raw_utterance, expected groups AFTER normalize_utterance).
+# The expectations are frozen snapshots of this chunker's contract-conformant
+# output — the reference's spaCy parser cannot run here (no spacy / no
+# model download), so span-level agreement with it is untestable in-image;
+# see PARITY.md. What IS ported verbatim and exact: the typo tables
+# (joint_det_dataset.py:1313-1373) and the trash-can/urinal/cardboard
+# fallbacks (spacy_parser.py:389-432).
+CORPUS = [
+    ("scanrefer", "if you are facing the desk , it is the chair on your left .",
+     {"main": ["desk"], "pronouns": ["it"], "others": ["chair"], "auxi": ["chair"]}),
+    ("scanrefer", "this is a gray office chair . it is in front of the wooden desk .",
+     {"main": ["office", "chair"], "modifiers": ["gray"], "pronouns": ["it"],
+      "relations": ["in", "front", "of"], "others": ["desk"]}),
+    ("scanrefer", "the chair that is closest to the window . it is blue .",
+     {"main": ["chair"], "modifiers": ["blue"], "pronouns": ["it"],
+      "relations": ["closest", "to"], "others": ["window"]}),
+    ("scanrefer", "a 2-door white cabinet under the sink .",
+     {"main": ["cabinet"], "modifiers": ["door", "white"],
+      "relations": ["under"], "others": ["sink"]}),
+    ("scanrefer", "there is a rectangular picture hanging on the wall above the bed .",
+     {"main": ["picture"], "modifiers": ["rectangular"],
+      "relations": ["hanging", "on", "above"], "others": ["wall", "bed"]}),
+    ("nr3d", "the pillow on the left-hand side of the bed; it's the red one",
+     {"main": ["pillow"], "modifiers": ["red"], "pronouns": ["it", "one"],
+      "others": ["bed"]}),
+    ("nr3d", "choose the monitor thats on the right when you're facing the desk",
+     {"main": ["monitor"], "others": ["desk"]}),
+    ("scanrefer", "the trash can beside the toilet .",
+     {"main": ["trash", "can"], "relations": ["beside"], "others": ["toilet"]}),
+    ("scanrefer", "the urinal mounted on the wall .",
+     {"main": ["urinal"], "relations": ["mounted", "on"], "others": ["wall"]}),
+    ("scanrefer", "a piece of cardboard leaning against the wall .",
+     {"main": ["cardboard"], "relations": ["leaning", "against"], "others": ["wall"]}),
+    ("sr3d", "the chair that is near the table",
+     {"main": ["chair"], "relations": ["near"], "others": ["table"],
+      "auxi": ["table"]}),
+    ("scanrefer", "the second chair from the left at the long table .",
+     {"main": ["chair"], "modifiers": ["second"], "others": ["table"]}),
+    ("scanrefer", "the couch is brown and has three cushions . the couch faces the tv .",
+     {"main": ["couch"], "modifiers": ["brown", "three"],
+      "pronouns": ["couch"], "others": ["cushions", "tv"]}),
+    ("scanrefer", "this is the desk with the computer on it . the desk is next to the bookshelf .",
+     {"main": ["desk"], "pronouns": ["it", "desk"],
+      "others": ["computer", "bookshelf"]}),
+    ("scanrefer", "a small nightstand . it is to the right of the bed , under the lamp .",
+     {"main": ["nightstand"], "modifiers": ["small"], "pronouns": ["it"],
+      "relations": ["to", "the", "right", "of", "under"],
+      "others": ["bed", "lamp"]}),
+]
+
+
+@pytest.mark.parametrize("dataset,raw,expected", CORPUS)
+def test_decoupler_corpus(dataset, raw, expected):
+    from eda_tpu.data.annotations import normalize_utterance
+
+    caption = normalize_utterance(raw, dataset)
+    got = decoupled_spans(caption)
+    for key, want in expected.items():
+        assert words(caption, got[key]) == want, (
+            key, caption, words(caption, got[key]),
+        )
+
+
+def test_fallback_nouns_become_main_when_tagging_fails(monkeypatch):
+    """The reference's trash-can/urinal/cardboard fallbacks
+    (spacy_parser.py:389-432) fire when no main entity was found."""
+    from eda_tpu.data import decouple, vocab
+
+    # simulate a vocabulary that misses the fallback nouns
+    monkeypatch.setattr(
+        vocab, "is_object_noun",
+        lambda w, _orig=vocab.is_object_noun: (
+            False if w in ("trash", "can", "urinal", "cardboard") else _orig(w)
+        ),
+    )
+    got = decoupled_spans("the trash can near the sink")
+    assert [t for t in ("trash", "can")] == [
+        "the trash can near the sink"[s:e] for s, e in got["main"]
+    ]
+    got = decoupled_spans("the cardboard")
+    assert ["cardboard"] == ["the cardboard"[s:e] for s, e in got["main"]]
+
+
 def test_relations_detected():
     caption = "the chair to the left of the desk."
     got = decoupled_spans(caption)
