@@ -105,7 +105,7 @@ def _act_ln(x, scale, bias):
 
 def _scan_pool(
     A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales, ln_biases,
-    *, statics,
+    *, statics, with_winners: bool = False,
 ):
     """Differentiable windowed masked-max pair MLP: scan over center blocks.
 
@@ -114,7 +114,9 @@ def _scan_pool(
     layer's output is pooled PRE-activation, and the caller applies the final
     LN+ReLU per center. ``ranks_f`` is float (int cotangents are awkward in
     custom_vjp); windows derive from it. Returns (B, n_blocks*block, c_out)
-    pre-activations in rank order.
+    pre-activations in rank order; with ``with_winners`` also the winning
+    point's GLOBAL rank per (center, out_channel) — (B, n_blocks*block,
+    c_out) int32 — for the sparse winner-recompute backward.
     """
     radius, W, block, n_blocks, dense, compute_dtype = statics
     r2 = radius * radius
@@ -140,7 +142,10 @@ def _scan_pool(
             (xyz_win[:, None, :, :] - cen_blk[:, :, None, :]) ** 2, axis=-1
         )  # (B, cm, W)
         masked = jnp.where(d2[..., None] <= r2, h.astype(jnp.float32), _NEG)
-        return jnp.max(masked, axis=2)  # (B, cm, c_out) pre-activation
+        out = jnp.max(masked, axis=2)  # (B, cm, c_out) pre-activation
+        if not with_winners:
+            return out, None
+        return out, jnp.argmax(masked, axis=2).astype(jnp.int32)
 
     def block_fn(_, bi):
         mid = jax.lax.dynamic_slice_in_dim(ranks, bi * block + block // 2, 1, 1)
@@ -155,13 +160,107 @@ def _scan_pool(
         )(sxyz, start)  # (B, W, 3)
         bc_blk = jax.lax.dynamic_slice_in_dim(b_c, bi * block, block, 1)
         cen_blk = jax.lax.dynamic_slice_in_dim(cen_xyz, bi * block, block, 1)
-        out = block_compute(
+        out, win = block_compute(
             a_win, xyz_win, bc_blk, cen_blk, (ln_scales, ln_biases)
         )
-        return _, out
+        if with_winners:
+            win = win + start[:, None, None]  # window pos -> global rank
+        return _, (out, win)
 
-    _, outs = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
-    return jnp.swapaxes(outs, 0, 1).reshape(A.shape[0], n_blocks * block, -1)
+    _, (outs, wins) = jax.lax.scan(block_fn, 0, jnp.arange(n_blocks))
+    outs = jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)
+    if not with_winners:
+        return outs
+    wins = jnp.swapaxes(wins, 0, 1).reshape(B, n_blocks * block, -1)
+    return outs, wins
+
+
+@functools.lru_cache(maxsize=None)
+def _winner_pool(statics):
+    """custom_vjp pool with the winner-recompute backward.
+
+    Forward: the XLA scan additionally records, per (center, out_channel),
+    the GLOBAL rank of the point that won the masked max. Backward: instead
+    of rematerializing the full (B, cm, W, C) pair grid (3 passes over W
+    pairs per center), recompute the pair MLP only at the <= c_out winner
+    pairs per center and route cotangents through the diagonal — W/c_out x
+    less backward pair work (8x at SA1's W=1024, c_out=128). Only used when
+    c_out < W; tie-breaking matches XLA's max subgradient up to ties between
+    equal values (measure-zero for float activations).
+    """
+    radius, W, block, n_blocks, dense, compute_dtype = statics
+
+    @jax.custom_vjp
+    def pool(A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales,
+             ln_biases):
+        return _scan_pool(
+            A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales,
+            ln_biases, statics=statics,
+        )
+
+    def fwd(A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales,
+            ln_biases):
+        outs, winners = _scan_pool(
+            A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales,
+            ln_biases, statics=statics, with_winners=True,
+        )
+        return outs, (A, b_c, winners, kernels, biases, ln_scales, ln_biases)
+
+    def bwd(res, g):
+        A, b_c, winners, kernels, biases, ln_scales, ln_biases = res
+        B, N, c1 = A.shape
+        K = winners.shape[-1]  # = c_out
+        kers_dt = compute_dtype
+
+        def f_all(A_, bc_, kernels_, biases_, scales_, lbiases_):
+            kers = [k.astype(kers_dt) for k in kernels_]
+            bias = [b.astype(kers_dt) for b in biases_]
+
+            @jax.checkpoint
+            def blk_compute(a_w, bc_blk, ln_params):
+                scales, lbiases = ln_params
+                h = jax.nn.relu(
+                    a_w + bc_blk[:, :, None, :]
+                ).astype(kers_dt)  # (B, cm, K, c1)
+                for i, (k, b) in enumerate(zip(kers, bias)):
+                    h = h @ k + b
+                    if i + 1 < len(kers):
+                        h = _act_ln(h, scales[i], lbiases[i]).astype(kers_dt)
+                # winner slot k feeds exactly out-channel k
+                return jnp.diagonal(
+                    h.astype(jnp.float32), axis1=2, axis2=3
+                )  # (B, cm, c_out)
+
+            def blk(_, bi):
+                w_blk = jax.lax.dynamic_slice_in_dim(
+                    winners, bi * block, block, 1
+                )  # (B, cm, K)
+                bc_blk = jax.lax.dynamic_slice_in_dim(bc_, bi * block, block, 1)
+                a_w = jnp.take_along_axis(
+                    A_, w_blk.reshape(B, -1, 1), axis=1
+                ).reshape(B, block, K, c1)
+                return _, blk_compute(a_w, bc_blk, (scales_, lbiases_))
+
+            _, outs = jax.lax.scan(blk, 0, jnp.arange(n_blocks))
+            return jnp.swapaxes(outs, 0, 1).reshape(B, n_blocks * block, -1)
+
+        _, vjp = jax.vjp(f_all, A, b_c, kernels, biases, ln_scales, ln_biases)
+        # Cotangents for out-of-radius centers (winner = masked argmax over
+        # all-NEG rows, pinned to window slot 0) are already zero: the outer
+        # maximum() with the self term routes their gradient away.
+        dA, dbc, dk, db, ds, dlb = vjp(g)
+        Mp = b_c.shape[1]
+        return (
+            dA,
+            jnp.zeros((B, N, 3), jnp.float32),  # sxyz: geometry, not trained
+            dbc,
+            jnp.zeros((B, Mp, 3), jnp.float32),  # cen_xyz
+            jnp.zeros((B, Mp), jnp.float32),  # ranks_f
+            dk, db, ds, dlb,
+        )
+
+    pool.defvjp(fwd, bwd)
+    return pool
 
 
 @functools.lru_cache(maxsize=None)
@@ -391,6 +490,17 @@ def fused_set_abstraction(
             params.kernels[0],
             params.biases[0],
             *diff_params,
+        )[:, :M]
+    elif impl == "winner":
+        # Winner-recompute backward: W/c_out x fewer backward pair FLOPs.
+        # MEASURED SLOWER on v5e (train 45 -> 11.8 scenes/sec at batch 32):
+        # the (B*M*c_out) random row gathers + scatter-adds cost far more
+        # than the FLOPs saved — TPU gathers are row-rate-bound, not
+        # locality-bound. Kept as an opt-in (gradient-exact, tested) for
+        # hardware where sparse access is cheap; the default training path
+        # is the rematerialized scan until the fused Pallas backward lands.
+        outs = _winner_pool(statics)(
+            A, sxyz, b_c, cen_xyz, ranks.astype(jnp.float32), *diff_params
         )[:, :M]
     else:
         outs = _scan_pool(

@@ -76,7 +76,8 @@ def _ln_relu_masked(x, scale, bias, c_real: int, eps=1e-5):
 
 
 def _make_kernel(
-    widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float
+    widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float,
+    with_winners: bool = False,
 ):
     n_layers = len(widths)
 
@@ -84,7 +85,11 @@ def _make_kernel(
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
         param_refs = rest[:n_p]
         out_ref = rest[n_p]
-        a_buf, xyz_buf, acc, sem_a, sem_x = rest[n_p + 1:]
+        if with_winners:
+            idx_ref = rest[n_p + 1]
+            a_buf, xyz_buf, acc, acc_idx, sem_a, sem_x = rest[n_p + 2:]
+        else:
+            a_buf, xyz_buf, acc, sem_a, sem_x = rest[n_p + 1:]
 
         b = pl.program_id(0)
         blk = pl.program_id(1)
@@ -121,6 +126,9 @@ def _make_kernel(
             issue(cell + 1, next_slot)
 
         acc[:, :] = jnp.full_like(acc[:, :], _NEG)
+        if with_winners:
+            acc_idx[:, :] = jnp.zeros_like(acc_idx[:, :])
+        win_start = pl.multiple_of(starts_ref[cell], 128)
         pltpu.make_async_copy(
             a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
         ).wait()
@@ -181,17 +189,44 @@ def _make_kernel(
                 masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
                 # center-major segmented max: each center's wc rows reduce
                 # across sublanes
-                for c in range(cm):
-                    seg = masked[c * wc:(c + 1) * wc, :]
-                    acc[c:c + 1, :] = jnp.maximum(
-                        acc[c:c + 1, :], jnp.max(seg, axis=0, keepdims=True)
+                if not with_winners:
+                    for c in range(cm):
+                        seg = masked[c * wc:(c + 1) * wc, :]
+                        acc[c:c + 1, :] = jnp.maximum(
+                            acc[c:c + 1, :], jnp.max(seg, axis=0, keepdims=True)
+                        )
+                else:
+                    # winner export: per (center, channel) the GLOBAL rank of
+                    # the argmax point. In-tile argmax via masked row-iota
+                    # (Mosaic has no sublane argmax primitive); across tiles
+                    # strict > keeps the first-seen max like the running fold.
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (wc, masked.shape[1]), 0
                     )
+                    for c in range(cm):
+                        seg = masked[c * wc:(c + 1) * wc, :]
+                        seg_max = jnp.max(seg, axis=0, keepdims=True)
+                        in_seg = jnp.max(
+                            jnp.where(seg >= seg_max, rows, -1),
+                            axis=0,
+                            keepdims=True,
+                        )  # (1, C) row index of the (last) max in this tile
+                        better = seg_max > acc[c:c + 1, :]
+                        acc_idx[c:c + 1, :] = jnp.where(
+                            better, win_start + t * wc + in_seg,
+                            acc_idx[c:c + 1, :],
+                        )
+                        acc[c:c + 1, :] = jnp.where(
+                            better, seg_max, acc[c:c + 1, :]
+                        )
 
         # static (unrolled) loop: slice offsets must be compile-time aligned
         for t in range(W // wc):
             tile_body(t)
 
         out_ref[0] = acc[:, :]
+        if with_winners:
+            idx_ref[0] = acc_idx[:, :]
 
     return kernel
 
@@ -202,7 +237,9 @@ def _ceil_lane(c: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "window", "block", "wc", "interpret"),
+    static_argnames=(
+        "radius", "window", "block", "wc", "interpret", "with_winners",
+    ),
 )
 def sa_pair_pool_pallas(
     A: jnp.ndarray,
@@ -217,6 +254,7 @@ def sa_pair_pool_pallas(
     block: int = 16,
     wc: int = 128,
     interpret: bool = False,
+    with_winners: bool = False,
 ) -> jnp.ndarray:
     """Windowed masked-max pair MLP (see module docstring).
 
@@ -237,7 +275,10 @@ def sa_pair_pool_pallas(
         (B, M, c_out) f32 pooled last-layer PRE-activations (same center
         order as inputs); centers with no in-radius point in their window
         hold -1e9 (callers max in the self term, which overrides the fill,
-        then apply the final LN+ReLU).
+        then apply the final LN+ReLU). With ``with_winners`` also an
+        (B, M, c_out) int32 array of the winning point's global rank per
+        (center, out_channel) — fuel for the sparse winner-recompute
+        backward (``ops/fused_sa.py:_winner_pool``).
     """
     B, N, c1 = A.shape
     M = b_c.shape[1]
@@ -282,7 +323,26 @@ def sa_pair_pool_pallas(
 
     starts = (starts // 128) * 128
 
-    kernel = _make_kernel(widths, window, wc, block, radius * radius)
+    kernel = _make_kernel(
+        widths, window, wc, block, radius * radius, with_winners=with_winners
+    )
+    out_spec = pl.BlockSpec(
+        (1, block, c_out_pad), lambda b, blk, starts: (b, blk, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.float32)
+    scratch = [
+        pltpu.VMEM((2, window, c1_pad), jnp.bfloat16),
+        pltpu.VMEM((2, window, _LANE), jnp.float32),
+        pltpu.VMEM((block, c_out_pad), jnp.float32),
+    ]
+    if with_winners:
+        out_spec = [out_spec, out_spec]
+        out_shape = [
+            out_shape, jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.int32)
+        ]
+        scratch.append(pltpu.VMEM((block, c_out_pad), jnp.int32))
+    scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_blocks),
@@ -299,22 +359,13 @@ def sa_pair_pool_pallas(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # R1
         ] + flat_specs,
-        out_specs=pl.BlockSpec(
-            (1, block, c_out_pad), lambda b, blk, starts: (b, blk, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, window, c1_pad), jnp.bfloat16),
-            pltpu.VMEM((2, window, _LANE), jnp.float32),
-            pltpu.VMEM((block, c_out_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         starts.reshape(-1).astype(jnp.int32),
@@ -325,4 +376,6 @@ def sa_pair_pool_pallas(
         R2,
         *flat_params,
     )
+    if with_winners:
+        return out[0][..., :c_out], out[1][..., :c_out]
     return out[..., :c_out]

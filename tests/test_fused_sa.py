@@ -56,6 +56,43 @@ def test_windowed_mode_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+def test_winner_backward_matches_scan_gradients(rng):
+    """The winner-recompute custom_vjp (c_out < window) must reproduce the
+    rematerialized scan's gradients exactly: the masked max routes each
+    out-channel's cotangent through one winning pair, and recomputing the
+    pair MLP only at winners is the same chain rule restricted to them."""
+    import jax
+
+    from eda_tpu.ops import fused_sa
+
+    B, N, M, C = 2, 256, 24, 2
+    xyz = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    cidx = jnp.asarray(
+        np.stack([rng.permutation(N)[:M] for _ in range(B)]).astype(np.int32)
+    )
+    # channels (8, 8, 16): c_out=16 < window=64 -> winner path active
+    params = make_params(rng, C, (8, 8, 16))
+    weights = jnp.asarray(rng.normal(size=(B, M, 16)).astype(np.float32))
+
+    def loss(params, impl):
+        out = fused_set_abstraction(
+            xyz, feats, cidx, params, radius=0.4, window=64, block=8,
+            compute_dtype=jnp.float32, impl=impl,
+        )
+        return jnp.sum(out * weights)
+
+    g_win = jax.grad(lambda p: loss(p, "winner"))(params)
+    g_scan = jax.grad(lambda p: loss(p, "xla"))(params)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_win), jax.tree_util.tree_leaves(g_scan)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_center_always_covered(rng):
     """Every center is within its own radius: output is never the zero fill."""
     B, N, M, C = 1, 256, 16, 2
