@@ -115,10 +115,59 @@ void ply_decode_vertices(const uint8_t* data, int64_t count, int64_t stride,
 }
 
 // ---------------------------------------------------------------------------
+// numpy-legacy random draw: MT19937 (identical init/tempering to numpy's
+// RandomState) + rk_interval masked rejection + the legacy Fisher-Yates
+// shuffle, so prepare_scene's downsample reproduces
+//   np.random.RandomState(seed).choice(n, keep_n, replace=False)
+// (= permutation(n)[:keep_n]) bit-for-bit — the exact seed-1184 draw of the
+// Python packing path (visual_data_handlers.py:113-122, data/scannet.py).
+// ---------------------------------------------------------------------------
+struct NpMt19937 {
+  uint32_t mt[624];
+  int idx;
+  explicit NpMt19937(uint32_t seed) {
+    mt[0] = seed;
+    for (int i = 1; i < 624; ++i)
+      mt[i] = 1812433253u * (mt[i - 1] ^ (mt[i - 1] >> 30)) + (uint32_t)i;
+    idx = 624;
+  }
+  uint32_t next() {
+    if (idx >= 624) {
+      for (int i = 0; i < 624; ++i) {
+        uint32_t y = (mt[i] & 0x80000000u) | (mt[(i + 1) % 624] & 0x7fffffffu);
+        mt[i] = mt[(i + 397) % 624] ^ (y >> 1);
+        if (y & 1u) mt[i] ^= 2567483615u;
+      }
+      idx = 0;
+    }
+    uint32_t y = mt[idx++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 2636928640u;
+    y ^= (y << 15) & 4022730752u;
+    y ^= y >> 18;
+    return y;
+  }
+  // uniform in [0, max] via numpy's rk_interval mask rejection
+  uint32_t interval(uint32_t max) {
+    if (max == 0) return 0;
+    uint32_t mask = max;
+    mask |= mask >> 1;
+    mask |= mask >> 2;
+    mask |= mask >> 4;
+    mask |= mask >> 8;
+    mask |= mask >> 16;
+    uint32_t v;
+    while ((v = next() & mask) > max) {
+    }
+    return v;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Fused scene prep: axis-align (4x4 row-major matrix, may be null),
-// deterministic LCG downsample to keep_n (matches a seeded choice-with-
-// replacement draw), morton keys + radix sort. Outputs sorted xyz and the
-// chosen source row per output slot (for gathering colors/labels).
+// numpy-exact seeded downsample to keep_n, morton keys + radix sort.
+// Outputs sorted xyz and the chosen source row per output slot (for
+// gathering colors/labels).
 // ---------------------------------------------------------------------------
 void prepare_scene(const float* xyz, int64_t n, const double* align4x4,
                    int64_t keep_n, uint64_t seed, float cell_size,
@@ -126,14 +175,23 @@ void prepare_scene(const float* xyz, int64_t n, const double* align4x4,
                    int32_t* src_rows /* keep_n */) {
   std::vector<float> pts(keep_n * 3);
   std::vector<int32_t> rows(keep_n);
-  uint64_t state = seed ? seed : 0x9E3779B97F4A7C15ull;
-  auto next = [&state]() {
-    state ^= state << 13; state ^= state >> 7; state ^= state << 17;
-    return state;
-  };
+  NpMt19937 gen((uint32_t)seed);
+  if (n >= keep_n) {
+    // RandomState.choice(n, keep_n, replace=False) = permutation(n)[:keep_n]
+    std::vector<int64_t> perm(n);
+    for (int64_t i = 0; i < n; ++i) perm[i] = i;
+    for (int64_t i = n - 1; i > 0; --i) {
+      uint32_t j = gen.interval((uint32_t)i);
+      std::swap(perm[i], perm[j]);
+    }
+    for (int64_t i = 0; i < keep_n; ++i) rows[i] = (int32_t)perm[i];
+  } else {
+    // replace=True path: randint(0, n) per slot (legacy rk_interval draw)
+    for (int64_t i = 0; i < keep_n; ++i)
+      rows[i] = (n > 0) ? (int32_t)gen.interval((uint32_t)(n - 1)) : 0;
+  }
   for (int64_t i = 0; i < keep_n; ++i) {
-    int64_t r = (n > 0) ? (int64_t)(next() % (uint64_t)n) : 0;
-    rows[i] = (int32_t)r;
+    int64_t r = rows[i];
     const float* p = xyz + r * 3;
     if (align4x4) {
       double x = p[0], y = p[1], z = p[2];

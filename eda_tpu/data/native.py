@@ -132,9 +132,10 @@ def prepare_scene(
 
     Returns (sorted_xyz (keep_n, 3), src_rows (keep_n,)) where src_rows maps
     each output slot to its source vertex (for gathering colors/labels).
-    Note: uses its own deterministic xorshift draw, not numpy's RandomState,
-    so packed outputs differ from the python path's seed-1184 draw — both
-    are valid fixed-seed downsamples.
+    The downsample reproduces ``np.random.RandomState(seed).choice(n, keep_n,
+    replace=n < keep_n)`` bit-for-bit (MT19937 + numpy's legacy shuffle in
+    the C++ core), so the native and Python packing paths select identical
+    points for the reference's seed-1184 draw.
     """
     lib = _load()
     xyz = np.ascontiguousarray(xyz, np.float32)

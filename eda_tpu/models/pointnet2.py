@@ -159,12 +159,17 @@ class FusedSetAbstraction(nn.Module):
         params = SAParams(
             tuple(kernels), tuple(biases), tuple(scales), tuple(ln_biases)
         )
-        # Inference on TPU runs the Pallas pair kernel (~4x the XLA scan);
-        # training takes the rematerialized XLA path — a Pallas primal with
-        # recompute-XLA backward was measured net-neutral (9.4 vs 9.8
-        # scenes/sec) at double the compile time, so the custom_vjp hybrid
-        # (ops/fused_sa.py:_hybrid_pool) stays available but not default.
-        impl = "pallas" if (not train and jax.default_backend() == "tpu") else "xla"
+        # On TPU both directions run Pallas: inference the pair kernel (~4x
+        # the XLA scan) and training the fused winner-routed backward kernel
+        # (ops/pallas/sa_kernel.py:sa_pair_pool_bwd_pallas) — it re-streams
+        # the forward's windows and recomputes tiles in VMEM instead of
+        # rematerializing the pair grid through HBM. The recompute-XLA hybrid
+        # (_hybrid_pool) and the sparse winner-gather path (_winner_pool)
+        # remain available but measured slower (net-neutral / 11.8 scenes/s).
+        if jax.default_backend() == "tpu":
+            impl = "pallas_train" if train else "pallas"
+        else:
+            impl = "xla"
         out = fused_set_abstraction(
             xyz,
             features,

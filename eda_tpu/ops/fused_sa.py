@@ -263,6 +263,92 @@ def _winner_pool(statics):
     return pool
 
 
+def _pallas_starts(ranks_f, statics, N):
+    """Window starts exactly as the Pallas primal derives them (pb-blocked,
+    midpoint-centered, clipped; the kernel re-quantizes to 128)."""
+    radius, W, block, n_blocks, dense, compute_dtype = statics
+    ranks = ranks_f.astype(jnp.int32)
+    B = ranks_f.shape[0]
+    m_total = n_blocks * block
+    pb = 16 if m_total % 16 == 0 else 8
+    mids = ranks[:, :m_total].reshape(B, m_total // pb, pb)[:, :, pb // 2]
+    p_starts = jnp.clip(mids - W // 2, 0, N - W).astype(jnp.int32)
+    if dense:
+        p_starts = jnp.zeros_like(p_starts)
+    return p_starts, pb, min(128, W)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_train_pool(statics):
+    """custom_vjp pool: Pallas forward AND fused Pallas backward.
+
+    The forward kernel runs with winner export; the backward kernel
+    (``ops/pallas/sa_kernel.py:sa_pair_pool_bwd_pallas``) re-streams the same
+    windows, recomputes each pair tile once in VMEM, and routes cotangents
+    through the winner indices — no pair-grid rematerialization in HBM and no
+    sparse gathers (the failure mode of the ``winner`` XLA path). This is the
+    TPU training default.
+    """
+    radius, W, block, n_blocks, dense, compute_dtype = statics
+
+    def primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+               ln_scales, ln_biases):
+        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas
+
+        N = A.shape[1]
+        p_starts, pb, wcp = _pallas_starts(ranks_f, statics, N)
+        layer_params = [(k0, b0, jnp.ones_like(b0), jnp.zeros_like(b0))]
+        for i, (k, b) in enumerate(zip(kernels, biases)):
+            if i < len(kernels) - 1:
+                s, lb = ln_scales[i], ln_biases[i]
+            else:
+                s, lb = jnp.ones_like(b), jnp.zeros_like(b)
+            layer_params.append((k, b, s, lb))
+        return sa_pair_pool_pallas(
+            A, sxyz, b_c, cen_xyz, p_starts, layer_params,
+            radius=radius, window=W, block=pb, wc=wcp, with_winners=True,
+        )
+
+    @jax.custom_vjp
+    def pool(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+             ln_scales, ln_biases):
+        return primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels,
+                      biases, ln_scales, ln_biases)[0]
+
+    def fwd(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0, kernels, biases,
+            ln_scales, ln_biases):
+        out, winners = primal(A, sxyz, b_c, cen_xyz, ranks_f, k0, b0,
+                              kernels, biases, ln_scales, ln_biases)
+        return out, (A, sxyz, b_c, cen_xyz, ranks_f, winners, k0, b0,
+                     kernels, biases, ln_scales, ln_biases)
+
+    def bwd(res, g):
+        (A, sxyz, b_c, cen_xyz, ranks_f, winners, k0, b0, kernels, biases,
+         ln_scales, ln_biases) = res
+        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_bwd_pallas
+
+        N = A.shape[1]
+        p_starts, pb, wcp = _pallas_starts(ranks_f, statics, N)
+        layer_params = [(k0, b0, jnp.ones_like(b0), jnp.zeros_like(b0))]
+        for i, (k, b) in enumerate(zip(kernels, biases)):
+            if i < len(kernels) - 1:
+                s, lb = ln_scales[i], ln_biases[i]
+            else:
+                s, lb = jnp.ones_like(b), jnp.zeros_like(b)
+            layer_params.append((k, b, s, lb))
+        dA, dbc, dk, db, ds, dlb = sa_pair_pool_bwd_pallas(
+            A, b_c, g, winners, p_starts, layer_params,
+            window=W, block=pb, wc=wcp,
+        )
+        zero = lambda x: jax.tree_util.tree_map(jnp.zeros_like, x)  # noqa: E731
+        return (dA.astype(A.dtype), zero(sxyz), dbc.astype(b_c.dtype),
+                zero(cen_xyz), zero(ranks_f), zero(k0), zero(b0),
+                dk, db, ds, dlb)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
 @functools.lru_cache(maxsize=None)
 def _hybrid_pool(statics):
     """custom_vjp pool: Pallas-kernel forward, recompute-XLA-scan backward.
@@ -477,7 +563,20 @@ def fused_set_abstraction(
         tuple(params.ln_scales[1:-1]),  # interior pair-grid LNs only
         tuple(params.ln_biases[1:-1]),
     )
-    if impl == "pallas":
+    if impl == "pallas_train":
+        # Pallas forward (winner export) + fused Pallas backward: the
+        # training fast path — no pair-grid rematerialization in HBM.
+        outs = _pallas_train_pool(statics)(
+            A.astype(jnp.float32),
+            sxyz,
+            b_c.astype(jnp.float32),
+            cen_xyz,
+            ranks.astype(jnp.float32),
+            params.kernels[0],
+            params.biases[0],
+            *diff_params,
+        )[:, :M]
+    elif impl == "pallas":
         # Pallas forward with a recompute-XLA backward (custom_vjp): the
         # primal runs the fast kernel, gradients re-derive through the
         # rematerialized XLA scan.

@@ -235,6 +235,409 @@ def _ceil_lane(c: int) -> int:
     return ((c + _LANE - 1) // _LANE) * _LANE
 
 
+def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
+    """Backward of the fused pair pool: same windows, winner-routed grads.
+
+    Per grid cell (one center block) the kernel re-streams the block's point
+    window, recomputes the pair MLP tile by tile (residual-free — VMEM holds
+    a tile's activations only), routes the output cotangent to the winning
+    pair of each (center, out_channel) via the winner ranks exported by the
+    forward, and backpropagates through the tile entirely on-chip. No
+    geometry is needed: a winner is in-radius by construction and centers
+    whose pooled output lost to the self term arrive with zero cotangent.
+
+    Accumulators:
+    * ``dA`` (per-point grads): per-cell VMEM window accumulator, folded into
+      HBM by a read-modify-write DMA at cell end — safe because the TPU grid
+      runs sequentially, and synchronous so the next (overlapping) window
+      never races the write.
+    * ``db_c``: per-cell output block (cells own disjoint center blocks).
+    * weight / bias / LN grads: outputs with a constant index map — the block
+      stays resident in VMEM across the whole grid and is written back once.
+
+    Tiles with no winner for any center skip their recompute AND their
+    backward entirely (``pl.when``) — strictly more skippable than the
+    forward's radius precheck.
+    """
+    n_layers = len(widths)
+
+    def kernel(starts_ref, a_hbm, da_in, bc_ref, g_ref, win_ref, r2_ref,
+               *rest):
+        # params: per layer li in 1..n_layers-1 -> [w, wt, b] (+[scale, lnb]
+        # when interior); outputs: da_out, dbc, then per layer [dw, db]
+        # (+[ds, dlb] when interior); scratch: a_buf, da_acc, rmw, sems.
+        p_refs = {}
+        k = 0
+        for li in range(1, n_layers):
+            p_refs[("w", li)] = rest[k]
+            p_refs[("wt", li)] = rest[k + 1]
+            p_refs[("b", li)] = rest[k + 2]
+            k += 3
+            if li < n_layers - 1:
+                p_refs[("scale", li)] = rest[k]
+                p_refs[("lnb", li)] = rest[k + 1]
+                k += 2
+        da_out = rest[k]
+        dbc_ref = rest[k + 1]
+        k += 2
+        o_refs = {}
+        for li in range(1, n_layers):
+            o_refs[("dw", li)] = rest[k]
+            o_refs[("db", li)] = rest[k + 1]
+            k += 2
+            if li < n_layers - 1:
+                o_refs[("ds", li)] = rest[k]
+                o_refs[("dlb", li)] = rest[k + 1]
+                k += 2
+        a_buf, da_acc, rmw_buf, sem_a, sem_rmw = rest[k:]
+
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
+        n_blocks = pl.num_programs(1)
+        n_cells = pl.num_programs(0) * n_blocks
+        cell = b * n_blocks + blk
+        slot = jax.lax.rem(cell, 2)
+        next_slot = jax.lax.rem(cell + 1, 2)
+
+        def issue(cell_idx, dst_slot):
+            src_b = cell_idx // n_blocks
+            start = pl.multiple_of(starts_ref[cell_idx], 128)
+            pltpu.make_async_copy(
+                a_hbm.at[src_b, pl.ds(start, W), :],
+                a_buf.at[dst_slot],
+                sem_a.at[dst_slot],
+            ).start()
+
+        @pl.when(cell == 0)
+        def _():
+            issue(0, 0)
+            for li in range(1, n_layers):
+                o_refs[("dw", li)][:, :] = jnp.zeros_like(o_refs[("dw", li)])
+                o_refs[("db", li)][:, :] = jnp.zeros_like(o_refs[("db", li)])
+                if li < n_layers - 1:
+                    o_refs[("ds", li)][:, :] = jnp.zeros_like(o_refs[("ds", li)])
+                    o_refs[("dlb", li)][:, :] = jnp.zeros_like(o_refs[("dlb", li)])
+
+        @pl.when(cell + 1 < n_cells)
+        def _():
+            issue(cell + 1, next_slot)
+
+        da_acc[:, :] = jnp.zeros_like(da_acc[:, :])
+        dbc_ref[0] = jnp.zeros_like(dbc_ref[0])
+        win_start = pl.multiple_of(starts_ref[cell], 128)
+        pltpu.make_async_copy(
+            a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
+        ).wait()
+        a_win = a_buf.at[slot]
+
+        R2 = r2_ref[:, :]  # (P, cm) f32
+        bc = bc_ref[0]  # (cm, c1_pad) bf16 — cast f32 exactly like forward
+        bc_rep = jnp.dot(
+            R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        g_rep = jnp.dot(
+            R2, g_ref[0], preferred_element_type=jnp.float32
+        )  # (P, c_out_pad)
+        # winner ranks replicate through the same 0/1 matmul; exact in f32
+        # for ranks < 2^24 (N is ~50k)
+        win_rep = jnp.dot(
+            R2, win_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (wc, win_rep.shape[1]), 0
+        )
+        rows_rep = pltpu.repeat(rows, cm, axis=0)  # (P, c_out_pad) tile
+
+        def tile_body(t):
+            grow = rows_rep + (win_start + t * wc)
+            eq = grow == win_rep  # (P, c_out_pad)
+
+            @pl.when(jnp.any(eq))
+            def _():
+                # ---- recompute forward (skip the last matmul: its output
+                # only fed the max, whose cotangent comes from g & winners)
+                awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
+                h0_pre = pltpu.repeat(awt, cm, axis=0) + bc_rep  # (P, c1_pad)
+                hs = [jnp.maximum(h0_pre, 0.0).astype(jnp.bfloat16)]
+                stats = {}
+                for li in range(1, n_layers - 1):
+                    h_pre = (
+                        jnp.dot(
+                            hs[-1], p_refs[("w", li)][:, :],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + p_refs[("b", li)][:, :]
+                    )
+                    c_real = widths[li]
+                    x = h_pre
+                    if c_real == x.shape[-1]:
+                        mean = jnp.mean(x, axis=1, keepdims=True)
+                        var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+                    else:
+                        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+                        lmask = lane < c_real
+                        xm = jnp.where(lmask, x, 0.0)
+                        mean = jnp.sum(xm, axis=1, keepdims=True) / c_real
+                        var = (
+                            jnp.sum(
+                                jnp.where(lmask, (x - mean) ** 2, 0.0),
+                                axis=1, keepdims=True,
+                            )
+                            / c_real
+                        )
+                    rstd = jax.lax.rsqrt(var + 1e-5)
+                    xhat = (x - mean) * rstd
+                    out = xhat * p_refs[("scale", li)][:, :] + p_refs[("lnb", li)][:, :]
+                    stats[li] = (xhat, rstd)
+                    hs.append(jnp.maximum(out, 0.0).astype(jnp.bfloat16))
+
+                # ---- backward
+                d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
+                last = n_layers - 1
+                d_bf = d_out.astype(jnp.bfloat16)
+                o_refs[("dw", last)][:, :] += jax.lax.dot_general(
+                    hs[last - 1], d_bf,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_refs[("db", last)][:, :] += jnp.sum(
+                    d_out, axis=0, keepdims=True
+                )
+                dh = jnp.dot(
+                    d_bf, p_refs[("wt", last)][:, :],
+                    preferred_element_type=jnp.float32,
+                )
+                for li in range(n_layers - 2, 0, -1):
+                    xhat, rstd = stats[li]
+                    c_real = widths[li]
+                    # relu mask in f32 (bf16 comparisons unsupported on TPU)
+                    dln = jnp.where(
+                        hs[li].astype(jnp.float32) > 0.0, dh, 0.0
+                    )
+                    o_refs[("ds", li)][:, :] += jnp.sum(
+                        dln * xhat, axis=0, keepdims=True
+                    )
+                    o_refs[("dlb", li)][:, :] += jnp.sum(
+                        dln, axis=0, keepdims=True
+                    )
+                    dxhat = dln * p_refs[("scale", li)][:, :]
+                    m1 = jnp.sum(dxhat, axis=1, keepdims=True) / c_real
+                    m2 = jnp.sum(dxhat * xhat, axis=1, keepdims=True) / c_real
+                    dx = rstd * (dxhat - m1 - xhat * m2)
+                    if c_real != dx.shape[-1]:
+                        lane = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+                        dx = jnp.where(lane < c_real, dx, 0.0)
+                    dx_bf = dx.astype(jnp.bfloat16)
+                    o_refs[("dw", li)][:, :] += jax.lax.dot_general(
+                        hs[li - 1], dx_bf,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o_refs[("db", li)][:, :] += jnp.sum(
+                        dx, axis=0, keepdims=True
+                    )
+                    dh = jnp.dot(
+                        dx_bf, p_refs[("wt", li)][:, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                dh0 = jnp.where(h0_pre > 0, dh, 0.0)  # (P, c1_pad) f32
+                # fold pairs back: dA_p += sum_c dh0[c*wc + p];
+                # db_c += sum_p dh0[c*wc + p] — small exact f32 VPU reductions
+                da_tile = dh0[0:wc, :]
+                for c in range(1, cm):
+                    da_tile = da_tile + dh0[c * wc:(c + 1) * wc, :]
+                da_acc[pl.ds(t * wc, wc), :] += da_tile
+                for c in range(cm):
+                    dbc_ref[0, c:c + 1, :] += jnp.sum(
+                        dh0[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
+                    )
+
+        for t in range(W // wc):
+            tile_body(t)
+
+        # read-modify-write the window's dA back to HBM. Synchronous: the
+        # next cell's window overlaps this one, so its read must observe our
+        # write — the wait enforces that under sequential grid execution.
+        read = pltpu.make_async_copy(
+            da_out.at[b, pl.ds(win_start, W), :], rmw_buf, sem_rmw
+        )
+        read.start()
+        read.wait()
+        rmw_buf[:, :] += da_acc[:, :]
+        write = pltpu.make_async_copy(
+            rmw_buf, da_out.at[b, pl.ds(win_start, W), :], sem_rmw
+        )
+        write.start()
+        write.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "block", "wc", "interpret")
+)
+def sa_pair_pool_bwd_pallas(
+    A: jnp.ndarray,
+    b_c: jnp.ndarray,
+    g: jnp.ndarray,
+    winners: jnp.ndarray,
+    starts: jnp.ndarray,
+    layer_params: Sequence[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    *,
+    window: int,
+    block: int = 16,
+    wc: int = 128,
+    interpret: bool = False,
+):
+    """Fused backward of ``sa_pair_pool_pallas`` (see ``_make_bwd_kernel``).
+
+    Args:
+        A: (B, N, c1) per-point projections — same array the forward saw.
+        b_c: (B, M, c1) per-center offsets (M = n_blocks * block, rank order).
+        g: (B, M, c_out) f32 cotangent of the pooled pre-activations.
+        winners: (B, M, c_out) int32 winning global rank per (center, channel)
+            from the forward's ``with_winners`` export.
+        starts: (B, M // block) int32 window starts (same values the forward
+            used; re-quantized to 128 internally).
+        layer_params: as the forward — layer 0's slots are plumbing only.
+
+    Returns:
+        (dA, db_c, dkernels, dbiases, dln_scales, dln_biases) where dkernels /
+        dbiases cover layers 1..L-1 and dln_* the interior layers only —
+        exactly the differentiable leaves the pool consumes inside the kernel.
+    """
+    B, N, c1 = A.shape
+    M = b_c.shape[1]
+    widths = tuple(
+        [layer_params[0][2].shape[-1]]
+        + [p[0].shape[1] for p in layer_params[1:]]
+    )
+    n_layers = len(widths)
+    n_blocks = M // block
+    assert M % block == 0 and window % wc == 0 and N >= window
+    c_out = widths[-1]
+    c_out_pad = _ceil_lane(c_out)
+    c1_pad = _ceil_lane(c1)
+
+    flat_params = []
+    flat_specs = []
+    for li in range(1, n_layers):
+        kk, bias, scale, lnb = layer_params[li]
+        k_pad = _pad_lanes(
+            jnp.pad(kk, ((0, _ceil_lane(kk.shape[0]) - kk.shape[0]), (0, 0))),
+            _ceil_lane(kk.shape[1]),
+        ).astype(jnp.bfloat16)
+        flat_params += [
+            k_pad,
+            k_pad.T,
+            _pad_lanes(bias.reshape(1, -1), _ceil_lane(len(bias))).astype(jnp.float32),
+        ]
+        flat_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        if li < n_layers - 1:
+            flat_params += [
+                _pad_lanes(scale.reshape(1, -1), _ceil_lane(len(scale))).astype(jnp.float32),
+                _pad_lanes(lnb.reshape(1, -1), _ceil_lane(len(lnb))).astype(jnp.float32),
+            ]
+            flat_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    a_pad = _pad_lanes(A, c1_pad).astype(jnp.bfloat16)
+    bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
+    g_pad = _pad_lanes(g.astype(jnp.float32), c_out_pad)
+    win_pad = _pad_lanes(winners.astype(jnp.int32), c_out_pad)
+    R2 = jnp.asarray(
+        np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
+    )
+    starts = (starts // 128) * 128
+    da_init = jnp.zeros((B, N, c1_pad), jnp.float32)
+
+    blk_map = lambda b, blk, starts: (b, blk, 0)  # noqa: E731
+    const_map = lambda b, blk, starts: (0, 0)  # noqa: E731
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, N, c1_pad), jnp.float32),  # dA
+        jax.ShapeDtypeStruct((B, M, c1_pad), jnp.float32),  # db_c
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((1, block, c1_pad), blk_map, memory_space=pltpu.VMEM),
+    ]
+    for li in range(1, n_layers):
+        cin_pad = _ceil_lane(layer_params[li][0].shape[0])
+        cw_pad = _ceil_lane(widths[li])
+        out_shapes += [
+            jax.ShapeDtypeStruct((cin_pad, cw_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, cw_pad), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((cin_pad, cw_pad), const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw_pad), const_map, memory_space=pltpu.VMEM),
+        ]
+        if li < n_layers - 1:
+            out_shapes += [
+                jax.ShapeDtypeStruct((1, cw_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, cw_pad), jnp.float32),
+            ]
+            out_specs += [
+                pl.BlockSpec((1, cw_pad), const_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cw_pad), const_map, memory_space=pltpu.VMEM),
+            ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # a_pad (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # da_init (aliased to dA)
+            pl.BlockSpec((1, block, c1_pad), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, c_out_pad), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, c_out_pad), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # R2
+        ] + flat_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c1_pad), jnp.bfloat16),  # a windows
+            pltpu.VMEM((window, c1_pad), jnp.float32),  # dA accumulator
+            pltpu.VMEM((window, c1_pad), jnp.float32),  # RMW buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = _make_bwd_kernel(widths, window, wc, block)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        # args: starts(scalar-prefetch), a_pad, da_init, ... — da_init (index
+        # 2 in the flattened input list) aliases output 0 so the kernel can
+        # read-modify-write it in place.
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(
+        starts.reshape(-1).astype(jnp.int32),
+        a_pad,
+        da_init,
+        bc_pad,
+        g_pad,
+        win_pad,
+        R2,
+        *flat_params,
+    )
+    dA = outs[0][..., :c1]
+    dbc = outs[1][..., :c1]
+    dk, db, ds, dlb = [], [], [], []
+    k = 2
+    for li in range(1, n_layers):
+        cin = layer_params[li][0].shape[0]
+        dk.append(outs[k][:cin, :widths[li]])
+        db.append(outs[k + 1][0, :widths[li]])
+        k += 2
+        if li < n_layers - 1:
+            ds.append(outs[k][0, :widths[li]])
+            dlb.append(outs[k + 1][0, :widths[li]])
+            k += 2
+    return dA, dbc, tuple(dk), tuple(db), tuple(ds), tuple(dlb)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Accuracy-vs-window sweep: justify ``sa_windows`` with accuracy data.
+
+The fused SA layers pool over all in-radius points inside a Morton window
+(``ModelConfig.sa_windows``) instead of the reference's <=nsample subsample
+(``pointnet2_modules.py:210-272``). Shorter windows cut pair-kernel FLOPs
+(SA1 2048->1024 + SA2 512->256 bought 159 -> 220 scenes/sec on v5e) but drop
+in-radius neighbors. This harness measures what that actually costs in
+GROUNDING ACCURACY, not just coverage:
+
+1. train a grounder on synthetic scenes until it localizes (the analog of
+   the reference's ``--debug`` overfit mode — no ScanNet ships with the
+   repo; pass ``--train-windows dense`` to train with exact windows),
+2. freeze the params and evaluate held-out synthetic scenes under each
+   candidate ``sa_windows`` setting (windows are a runtime knob, not a
+   parameter shape, so one checkpoint serves every setting),
+3. report Acc@0.25 / Acc@0.5 (top-1, bbs scoring, ``last_`` prefix) and
+   forward throughput per setting as JSON lines.
+
+Usage (full-size on TPU; ~minutes per window setting):
+    python -m eda_tpu.tools.window_sweep --steps 150 --batch 8
+    python -m eda_tpu.tools.window_sweep --dry        # tiny CPU smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eda_tpu.config import ModelConfig, TrainConfig
+from eda_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+from eda_tpu.eval.grounding import GroundingEvaluator
+from eda_tpu.losses.criterion import SetCriterionConfig
+from eda_tpu.models import EDAGrounder
+
+
+def _force(x):
+    return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def parse_windows(spec: str, cfg: ModelConfig):
+    if spec == "dense":
+        return tuple(max(cfg.num_points, 4 * n) for n in cfg.sa_npoints)
+    return tuple(int(x) for x in spec.split(","))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry", action="store_true", help="tiny CPU smoke config")
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument(
+        "--train-windows", default="default",
+        help="'default', 'dense', or comma list, e.g. 1024,256,256,256",
+    )
+    ap.add_argument(
+        "--sweep", nargs="*",
+        default=["dense", "2048,512,512,512", "1024,256,256,256",
+                 "512,128,128,128"],
+        help="window settings to evaluate",
+    )
+    args = ap.parse_args()
+
+    base = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
+    if args.dry:
+        args.steps = min(args.steps, 30)
+        args.batch = 2
+        args.sweep = ["dense", "128,64,64,64"]
+    gen = SyntheticScenes(
+        SyntheticConfig(
+            num_points=base.num_points,
+            num_objects=4 if args.dry else 8,
+            text_len=32 if args.dry else 64,
+            max_objects=16 if args.dry else base.max_detected_boxes,
+        ),
+        vocab_size=base.text_vocab_size,
+    )
+
+    def make_batch(lo, hi):
+        return jax.tree_util.tree_map(
+            jnp.asarray, gen.batch(range(lo, hi), butd=base.butd)
+        )
+
+    train_cfg = base
+    if args.train_windows != "default":
+        train_cfg = dataclasses.replace(
+            base, sa_windows=parse_windows(args.train_windows, base)
+        )
+    model = EDAGrounder(train_cfg)
+    batch0 = make_batch(0, args.batch)
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(0), batch0["inputs"], train=False)
+    )()
+
+    from eda_tpu.train import TrainState, make_optimizer, make_train_step
+
+    crit = SetCriterionConfig(
+        num_decoder_layers=train_cfg.num_decoder_layers, dataset="scanrefer"
+    )
+    tx = make_optimizer(
+        TrainConfig(lr=1e-3, lr_backbone=1e-3, clip_norm=1.0),
+        variables["params"],
+        steps_per_epoch=max(args.steps, 1),
+    )
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_train_step(model, crit, donate=False)
+    rng = jax.random.key(0)
+    n_train_batches = 4
+    batches = [
+        make_batch(i * args.batch, (i + 1) * args.batch)
+        for i in range(n_train_batches)
+    ]
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % n_train_batches], rng)
+        if i % 25 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {_force(metrics['loss']):.3f}", file=sys.stderr)
+
+    eval_batches = [
+        make_batch(1000 + i * args.batch, 1000 + (i + 1) * args.batch)
+        for i in range(args.eval_batches)
+    ]
+    frozen = {"params": state.params, "batch_stats": state.batch_stats}
+
+    for spec in args.sweep:
+        windows = parse_windows(spec, base)
+        eval_model = EDAGrounder(dataclasses.replace(base, sa_windows=windows))
+
+        @jax.jit
+        def fwd(v, inputs):
+            return eval_model.apply(v, inputs, train=False)
+
+        ev = GroundingEvaluator(prefixes=("last_",), modes=("bbs",))
+        t_fwd = None
+        for i, b in enumerate(eval_batches):
+            t0 = time.perf_counter()
+            out = fwd(frozen, b["inputs"])
+            _force(out["last_center"])
+            dt = time.perf_counter() - t0
+            if i > 0:  # skip the compile call
+                t_fwd = dt if t_fwd is None else min(t_fwd, dt)
+            ev.evaluate(out, b["targets"])
+        rec = {
+            "sa_windows": list(windows),
+            "acc_025_top1": round(ev.accuracy("last_", 0.25, 1, "bbs"), 4),
+            "acc_05_top1": round(ev.accuracy("last_", 0.5, 1, "bbs"), 4),
+            "train_windows": list(train_cfg.sa_windows),
+            "steps": args.steps,
+        }
+        if t_fwd:
+            rec["fwd_scenes_per_sec"] = round(args.batch / t_fwd, 2)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

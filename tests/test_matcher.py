@@ -71,3 +71,36 @@ def test_query_target_inverse(rng):
             q = mq[b, g]
             assert qm[b, q]
             assert qt[b, q] == g
+
+
+def test_auction_degenerate_equal_costs():
+    """All-equal cost matrix (pure tie-break stress): the auction must still
+    terminate under the iteration cap with a complete one-to-one assignment
+    of every valid target — the loss consumes whatever comes out, so a stall
+    or duplicate assignment would silently corrupt training
+    (VERDICT round-1 weak #10)."""
+    B, Q, G = 3, 16, 8
+    cost = jnp.zeros((B, Q, G), jnp.float32)
+    valid = np.ones((B, G), bool)
+    valid[1, 5:] = False  # mix in padding targets
+    res = auction_assign(cost, jnp.asarray(valid))
+    mq = np.asarray(res.match_q)
+    qm = np.asarray(res.query_matched)
+    for b in range(B):
+        got = mq[b][valid[b]]
+        assert len(set(got.tolist())) == valid[b].sum()  # one-to-one
+        assert (got >= 0).all() and (got < Q).all()
+        assert qm[b].sum() == valid[b].sum()
+
+
+def test_auction_iteration_cap_returns():
+    """With a tiny max_iters the auction must return (possibly incomplete)
+    rather than hang, and never report an unowned query as matched."""
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
+    valid = jnp.ones((2, 8), bool)
+    res = auction_assign(cost, valid, max_iters=2)
+    qm = np.asarray(res.query_matched)
+    qt = np.asarray(res.query_target)
+    # every matched query points at a valid target index
+    assert ((qt >= 0) & (qt < 8))[qm].all()

@@ -66,3 +66,15 @@ def test_prepare_scene_with_alignment(rng):
     rot[0, 3] = 5.0  # translation
     out_xyz, src = native.prepare_scene(xyz, 512, seed=7, align=rot.ravel())
     np.testing.assert_allclose(out_xyz[:, 0], xyz[src, 0] + 5.0, rtol=1e-5)
+
+
+def test_prepare_scene_matches_numpy_randomstate(rng):
+    """The native downsample must reproduce the Python packing path's
+    np.random.RandomState(seed).choice draw bit-for-bit (MT19937 + legacy
+    Fisher-Yates in the C++ core) — both replace=False (n >= keep) and
+    replace=True (n < keep) branches."""
+    for n, keep, seed in [(3000, 500, 1184), (800, 1000, 1184)]:
+        xyz = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        _, src = native.prepare_scene(xyz, keep, seed=seed)
+        want = np.random.RandomState(seed).choice(n, keep, replace=n < keep)
+        np.testing.assert_array_equal(np.sort(src), np.sort(want))

@@ -131,3 +131,161 @@ def test_pallas_kernel_windowed_finite_and_close(interpret_kernel):
     per_center = np.abs(np.asarray(out) - np.asarray(ref)).max(-1)
     close = (per_center < 0.03).mean()
     assert close > 0.7, f"only {close:.2%} of centers match the scan"
+
+
+@pytest.fixture
+def interpret_bwd(monkeypatch):
+    for name in ("sa_pair_pool_pallas", "sa_pair_pool_bwd_pallas"):
+        orig = getattr(SK, name)
+
+        def patched(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig.__wrapped__(*a, **k)
+
+        monkeypatch.setattr(SK, name, patched)
+
+
+def test_pallas_backward_matches_winner_routed_gradient(interpret_bwd):
+    """The fused Pallas backward must equal the analytic gradient of the
+    pooled pre-activations with winners pinned: route each (center, channel)
+    cotangent to its winning pair, backprop the pair MLP at that single pair.
+    Covers windows, multiple blocks, multiple batch rows (RMW overlap), and
+    the masked interior LayerNorm — checked against an explicit numpy
+    per-slot accumulation with the kernel's exact bf16 rounding points."""
+    from eda_tpu.ops import fused_sa as FS
+
+    rng = np.random.default_rng(5)
+    B, N, M, W, c1 = 2, 512, 32, 256, 8
+    radius = 0.6
+    A = jnp.asarray(rng.normal(size=(B, N, c1)).astype(np.float32))
+    xyz = jnp.asarray(
+        np.sort(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32), axis=1)
+    )
+    ranks = np.stack(
+        [np.sort(rng.permutation(N)[:M]) for _ in range(B)]
+    ).astype(np.int32)
+    cen = jnp.take_along_axis(xyz, jnp.asarray(ranks)[..., None], 1)
+    b_c = jnp.asarray(rng.normal(size=(B, M, c1)).astype(np.float32))
+    kernels = (
+        jnp.asarray(rng.normal(size=(c1, 8)).astype(np.float32) * 0.4),
+        jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32) * 0.4),
+    )
+    biases = (
+        jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1),
+    )
+    scales = (jnp.asarray(1 + 0.1 * rng.normal(size=(8,)).astype(np.float32)),)
+    lbiases = (jnp.asarray(0.1 * rng.normal(size=(8,)).astype(np.float32)),)
+    statics = (radius, W, 16, M // 16, False, jnp.bfloat16)
+    pool = FS._pallas_train_pool(statics)
+    k0 = jnp.zeros((1, 1), jnp.float32)
+    b0 = jnp.zeros((c1,), jnp.float32)
+    ranks_f = jnp.asarray(ranks).astype(jnp.float32)
+    out = pool(A, xyz, b_c, cen, ranks_f, k0, b0, kernels, biases, scales, lbiases)
+    G = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    G = jnp.where(out < -1e8, 0.0, G)  # the outer self-term max routes these away
+
+    def loss(A_, bc_, ks, bs, ss, ls):
+        return jnp.sum(
+            pool(A_, xyz, bc_, cen, ranks_f, k0, b0, ks, bs, ss, ls) * G
+        )
+
+    dA_k, dbc_k, dk_k, db_k, ds_k, dlb_k = jax.grad(
+        loss, argnums=(0, 1, 2, 3, 4, 5)
+    )(A, b_c, kernels, biases, scales, lbiases)
+
+    _, winners = SK.sa_pair_pool_pallas(
+        A, xyz, b_c, cen, FS._pallas_starts(ranks_f, statics, N)[0],
+        [(k0, b0, jnp.ones(c1), jnp.zeros(c1)),
+         (kernels[0], biases[0], scales[0], lbiases[0]),
+         (kernels[1], biases[1], jnp.ones(16), jnp.zeros(16))],
+        radius=radius, window=W, block=16, wc=128, with_winners=True,
+    )
+    wn, out_np, G_np = np.asarray(winners), np.asarray(out), np.asarray(G)
+
+    def bf(x):
+        return np.asarray(
+            jnp.asarray(x, jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+
+    A_eff, bc_eff = bf(A), bf(b_c)
+    k1, k2 = bf(kernels[0]), bf(kernels[1])
+    b1, b2 = np.asarray(biases[0]), np.asarray(biases[1])
+    s1, l1 = np.asarray(scales[0]), np.asarray(lbiases[0])
+    dA_np = np.zeros((B, N, c1), np.float64)
+    dbc_np = np.zeros((B, M, c1), np.float64)
+    dk1_np = np.zeros_like(k1, dtype=np.float64)
+    dk2_np = np.zeros_like(k2, dtype=np.float64)
+    db1_np = np.zeros(8, np.float64)
+    db2_np = np.zeros(16, np.float64)
+    ds1_np = np.zeros(8, np.float64)
+    dl1_np = np.zeros(8, np.float64)
+    for b in range(B):
+        for m in range(M):
+            # group channels by winning row — the kernel backpropagates each
+            # pair row ONCE with its full multi-channel cotangent, and bf16
+            # rounding does not commute with the channel sum
+            for p in np.unique(wn[b, m]):
+                d2v = np.where(
+                    (wn[b, m] == p) & (out_np[b, m] > -1e8), G_np[b, m], 0.0
+                )
+                if not d2v.any():
+                    continue
+                h0_pre = A_eff[b, p] + bc_eff[b, m]
+                h0 = bf(np.maximum(h0_pre, 0))
+                x = h0 @ k1 + b1
+                mu = x.mean()
+                rstd = 1.0 / np.sqrt(((x - mu) ** 2).mean() + 1e-5)
+                xhat = (x - mu) * rstd
+                h1 = bf(np.maximum(xhat * s1 + l1, 0))
+                d2bf = bf(d2v)  # the kernel rounds cotangents to bf16 for MXU
+                dk2_np += np.outer(h1, d2bf)
+                db2_np += d2v
+                dh1 = k2 @ d2bf
+                dln = dh1 * (h1 > 0)
+                ds1_np += dln * xhat
+                dl1_np += dln
+                dxhat = dln * s1
+                dx = rstd * (dxhat - dxhat.mean() - xhat * (dxhat * xhat).mean())
+                dxbf = bf(dx)
+                dk1_np += np.outer(h0, dxbf)
+                db1_np += dx
+                dh0 = (k1 @ dxbf) * (h0_pre > 0)
+                dA_np[b, p] += dh0
+                dbc_np[b, m] += dh0
+
+    # dA/dbc folds are exact f32 in the kernel; weight grads round the
+    # cotangent to bf16 before the MXU -> small tolerance there.
+    np.testing.assert_allclose(np.asarray(dA_k), dA_np, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dbc_k), dbc_np, atol=1e-4)
+    for got, want in [
+        (dk_k[0], dk1_np), (dk_k[1], dk2_np), (db_k[0], db1_np),
+        (db_k[1], db2_np), (ds_k[0], ds1_np), (dlb_k[0], dl1_np),
+    ]:
+        denom = np.abs(want).max() + 1e-6
+        assert np.abs(np.asarray(got) - want).max() / denom < 0.01
+
+
+def test_pallas_train_impl_full_integration(interpret_bwd):
+    """impl='pallas_train' through fused_set_abstraction: dense-mode grads
+    must track the XLA scan's (identical windows; bf16 forward differences
+    can swap near-tied winners, so compare with tolerance)."""
+    xyz, feats, cidx, params = _setup(seed=4, N=512, M=64)
+    kw = dict(radius=0.3, window=xyz.shape[1], block=64, presorted=True)
+    G = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 16)).astype(np.float32)
+    )
+
+    def loss(p, impl):
+        out = fused_set_abstraction(
+            xyz, feats, cidx, p, impl=impl, compute_dtype=jnp.bfloat16, **kw
+        )
+        return jnp.sum(out * G)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_new = jax.grad(lambda p: loss(p, "pallas_train"))(params)
+    for name in ("kernels", "biases", "ln_scales", "ln_biases"):
+        for a, b in zip(getattr(g_ref, name), getattr(g_new, name)):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = np.abs(a).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 0.15
