@@ -498,6 +498,11 @@ def evaluate_detection(args, model, state, model_cfg, logger):
     eval_fn = make_eval_step(model)
     calc = APCalculator(iou_thresh=0.25)
     bsz = max(args.batch_size, 1)
+    # the eval prompt is FIXED (18 class names); tokenize once, not per batch
+    from eda_tpu.data.detection_prompt import PROMPT_NAMES
+
+    caption = " . ".join(PROMPT_NAMES) + " . not mentioned"
+    tok = ds.tokenizer.encode_batch([caption], max_len=ds.text_len)
     for start in range(0, len(ds) - bsz + 1, bsz):
         batch_np = ds.batch(range(start, start + bsz), butd=model_cfg.butd)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
@@ -512,14 +517,6 @@ def evaluate_detection(args, model, state, model_cfg, logger):
             ]
             keep = [c for c in classes if c < 18][:MAX_NUM_OBJ]
             gt_classes[i, : len(keep)] = keep
-        from eda_tpu.models.tokenizer import make_tokenizer
-
-        caption = " . ".join(
-            __import__(
-                "eda_tpu.data.detection_prompt", fromlist=["PROMPT_NAMES"]
-            ).PROMPT_NAMES
-        ) + " . not mentioned"
-        tok = ds.tokenizer.encode_batch([caption], max_len=ds.text_len)
         evaluate_detection_batch(
             calc, end_points, batch_np["targets"], gt_classes, tok, caption
         )
