@@ -352,8 +352,13 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
         def tile_body(t):
             grow = rows_rep + (win_start + t * wc)
             eq = grow == win_rep  # (P, c_out_pad)
+            # the whole tile's gradient cotangent — skip on ZERO COTANGENT,
+            # not just winner presence: centers whose pooled value lost to
+            # the self term (or padding centers) carry g = 0, and the winner
+            # default rank 0 would otherwise force tile 0 to run everywhere
+            d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
 
-            @pl.when(jnp.any(eq))
+            @pl.when(jnp.any(d_out != 0.0))
             def _():
                 # ---- recompute forward (skip the last matmul: its output
                 # only fed the max, whose cotangent comes from g & winners)
@@ -393,7 +398,6 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
                     hs.append(jnp.maximum(out, 0.0).astype(jnp.bfloat16))
 
                 # ---- backward
-                d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
                 last = n_layers - 1
                 d_bf = d_out.astype(jnp.bfloat16)
                 o_refs[("dw", last)][:, :] += jax.lax.dot_general(
