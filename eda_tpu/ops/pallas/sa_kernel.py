@@ -352,14 +352,17 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
         def tile_body(t):
             grow = rows_rep + (win_start + t * wc)
             eq = grow == win_rep  # (P, c_out_pad)
-            # the whole tile's gradient cotangent — skip on ZERO COTANGENT,
-            # not just winner presence: centers whose pooled value lost to
-            # the self term (or padding centers) carry g = 0, and the winner
-            # default rank 0 would otherwise force tile 0 to run everywhere
-            d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
+            # skip on ZERO COTANGENT, not just winner presence: centers whose
+            # pooled value lost to the self term (or padding centers) carry
+            # g = 0, and the winner default rank 0 would otherwise force
+            # tile 0 to run everywhere. Bool mask only out here — the f32
+            # cotangent tensor would blow the scoped-VMEM budget at SA2+
+            # sizes when live across the pl.when boundary.
+            live = eq & (g_rep != 0.0)
 
-            @pl.when(jnp.any(d_out != 0.0))
+            @pl.when(jnp.any(live))
             def _():
+                d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
                 # ---- recompute forward (skip the last matmul: its output
                 # only fed the max, whose cotangent comes from g & winners)
                 awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
@@ -611,6 +614,12 @@ def sa_pair_pool_bwd_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        # the tile recompute+backward keeps several (block*wc, C_pad) f32
+        # temporaries live at once; the 16M default scoped budget is within
+        # ~1M of the SA2 working set, so give Mosaic explicit headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         # args: starts(scalar-prefetch), a_pad, da_init, ... — da_init (index
         # 2 in the flattened input list) aliases output 0 so the kernel can
         # read-modify-write it in place.

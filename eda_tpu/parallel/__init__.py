@@ -5,4 +5,6 @@ from eda_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicate_sharding,
     shard_batch,
+    shard_params,
+    tp_param_spec,
 )

@@ -52,6 +52,57 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def tp_param_spec(path) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one parameter leaf.
+
+    Attention shards the HEADS axis (flax MHA kernels are
+    (d_model, heads, head_dim) for q/k/v and (heads, head_dim, d_model) for
+    out); FFNs shard the hidden axis column-wise then row-wise, so each
+    layer pair needs exactly one psum (inserted by XLA's SPMD partitioner —
+    the model code never mentions the axis). Everything else replicates.
+    Applies uniformly to the cross-modal encoder/decoder, the RoBERTa text
+    encoder (attention/intermediate/output names), and the FFN blocks
+    (Dense_0/Dense_1 inside ffn_* submodules).
+    """
+    keys = [getattr(k, "key", str(k)) for k in path]
+    name = keys[-1]
+    joined = "/".join(keys)
+    if "MultiHeadDotProductAttention" in joined or "/attention/" in joined + "/":
+        proj = keys[-2]
+        if proj in ("query", "key", "value"):
+            return P(None, "model", None) if name == "kernel" else P("model", None)
+        if proj == "out":
+            return P("model", None, None) if name == "kernel" else P()
+    # FFN pairs: column-parallel first Dense, row-parallel second
+    if name == "kernel":
+        parent, grand = keys[-2], keys[-3] if len(keys) >= 3 else ""
+        if (parent == "Dense_0" and grand.startswith("ffn")) or parent == "intermediate":
+            return P(None, "model")
+        if (parent == "Dense_1" and grand.startswith("ffn")) or parent == "output":
+            return P("model", None)
+    if name == "bias":
+        parent, grand = keys[-2], keys[-3] if len(keys) >= 3 else ""
+        if (parent == "Dense_0" and grand.startswith("ffn")) or parent == "intermediate":
+            return P("model")
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree on the mesh under the TP rules.
+
+    With model=1 meshes every spec degenerates to replication, so this is
+    always safe to call; with model>1 the attention/FFN weights of the
+    encoder, decoder, and text encoder are sharded over the 'model' axis and
+    XLA SPMD derives the matching activation shardings and psums.
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, tp_param_spec(path))
+        ),
+        params,
+    )
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (parameters, scalars)."""
     return NamedSharding(mesh, P())

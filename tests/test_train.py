@@ -119,3 +119,36 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(
         float(metrics_single["loss"]), float(metrics_dp["loss"]), rtol=1e-2
     )
+
+
+def test_tp_matches_single_device():
+    """DP x TP (data=4, model=2) step == single-device step: sharding the
+    attention/FFN weights over the 'model' axis (parallel/mesh.py:
+    tp_param_spec) must not change the math — XLA SPMD inserts the psums."""
+    from eda_tpu.parallel import shard_params
+
+    model, crit, state, batch = tiny_setup(batch=8)
+    step = make_train_step(model, crit, donate=False)
+    rng = jax.random.key(0)
+    _, metrics_single = step(state, batch, rng)
+
+    mesh = make_mesh(model=2)
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
+    tp_state = state.replace(params=shard_params(state.params, mesh))
+    sharded = shard_batch(batch, mesh)
+    new_state, metrics_tp = step(tp_state, sharded, rng)
+    np.testing.assert_allclose(
+        float(metrics_single["loss"]), float(metrics_tp["loss"]), rtol=1e-2
+    )
+    # a sharded attention kernel stays sharded through the update
+    from jax.sharding import PartitionSpec as P
+    from eda_tpu.parallel import tp_param_spec
+    import jax.tree_util as jtu
+
+    flat = jtu.tree_flatten_with_path(new_state.params)[0]
+    sharded_leaves = [
+        (path, leaf) for path, leaf in flat if tp_param_spec(path) != P()
+    ]
+    assert sharded_leaves, "no leaf matched the TP rules"
+    for path, leaf in sharded_leaves[:4]:
+        assert not leaf.sharding.is_fully_replicated, jtu.keystr(path)
