@@ -91,6 +91,8 @@ _NUM_WORDS = frozenset(
     "one two three four five six seven eight nine ten eleven twelve".split()
 )
 
+_SPATIAL_SUPERLATIVES = frozenset("nearest closest farthest furthest".split())
+
 
 def _classify(toks: List[_Tok]) -> None:
     """Tag tokens; relation phrases get greedy longest-match priority."""
@@ -137,6 +139,23 @@ def _classify(toks: List[_Tok]) -> None:
             t.kind = "NOUN_SCENE"
         elif t.lower in vocab.ATTRIBUTES:
             t.kind = "ADJ"
+
+    # post-nominal spatial superlatives: "the chair nearest the door" — the
+    # reference's spaCy chunker splits "the chair" / "the door" into separate
+    # noun chunks with "nearest" outside both (amod attaching right); our
+    # greedy chunker would otherwise merge the run into one chunk and demote
+    # "chair" to a modifier. After a noun they act as relation words; before
+    # a noun ("the closest chair") they stay attributive modifiers.
+    for i, t in enumerate(toks):
+        if t.kind == "REL" or t.lower not in _SPATIAL_SUPERLATIVES:
+            continue
+        j = i - 1
+        while j >= 0 and toks[j].kind == "PUNCT":
+            j -= 1
+        if j >= 0 and toks[j].kind in ("NOUN_OBJ", "NOUN_SCENE"):
+            t.kind = "REL"
+            t.rel_group = group
+            group += 1
 
     # multi-word object phrases ("trash can"): retag all member words NOUN_OBJ
     for k, phrases in vocab.multiword_objects().items():
@@ -306,12 +325,26 @@ def parse(caption: str) -> ParseResult:
                 subj_ok = True
         if not subj_ok:
             continue
+        # Collect the predicative run. When the run leads into a noun, the
+        # modifiers after the last DET/COP boundary belong to THAT noun's
+        # chunk, not the subject ("it has a black frame": "black" is amod of
+        # "frame", not acomp — reference spacy_parser.py:97-125); conjoined
+        # predicative adjectives before the boundary stay with the subject
+        # ("is brown and has three cushions" keeps "brown").
         k = i + 1
+        run: List[int] = []
+        boundary = 0  # run entries collected before the last DET/COP
         while k < len(toks) and toks[k].kind in ("ADJ", "NUM", "CONJ", "DET", "COP"):
             if toks[k].kind in ("ADJ", "NUM"):
-                if span(k) not in main.mod_char_span:
-                    main.mod_char_span.append(span(k))
+                run.append(k)
+            elif toks[k].kind in ("DET", "COP"):
+                boundary = len(run)
             k += 1
+        if k < len(toks) and toks[k].kind in ("NOUN_OBJ", "NOUN_SCENE"):
+            run = run[:boundary]
+        for k in run:
+            if span(k) not in main.mod_char_span:
+                main.mod_char_span.append(span(k))
 
     return ParseResult(nodes, relations)
 

@@ -116,7 +116,10 @@ CORPUS = [
     ("scanrefer", "the second chair from the left at the long table .",
      {"main": ["chair"], "modifiers": ["second"], "others": ["table"]}),
     ("scanrefer", "the couch is brown and has three cushions . the couch faces the tv .",
-     {"main": ["couch"], "modifiers": ["brown", "three"],
+     # "three" is a nummod of "cushions" (that chunk's modifier), not an
+     # acomp of the subject — only conjoined predicative "brown" stays with
+     # the main entity (reference spacy_parser.py:97-125 amod attachment)
+     {"main": ["couch"], "modifiers": ["brown"],
       "pronouns": ["couch"], "others": ["cushions", "tv"]}),
     ("scanrefer", "this is the desk with the computer on it . the desk is next to the bookshelf .",
      {"main": ["desk"], "pronouns": ["it", "desk"],
@@ -125,6 +128,223 @@ CORPUS = [
      {"main": ["nightstand"], "modifiers": ["small"], "pronouns": ["it"],
       "relations": ["to", "the", "right", "of", "under"],
       "others": ["bed", "lamp"]}),
+
+# --- round-2 validation corpus (VERDICT item 5) ----------------------------
+# 101 authentic-style ScanRefer/SR3D/NR3D utterances. spaCy is unavailable in
+# this image, so each expectation was transcribed by applying the reference
+# algorithm's rules by hand and reviewing the chunker's output against them:
+# noun-chunk modifier attachment (amod/nummod, spacy_parser.py:97-125), main
+# entity = first non-wall/floor Object in text order (:168-197), the literal
+# pronoun list ['this','it','which','there','these','those'] (:148), pronoun
+# and repeated-mention coref to node 0 (:201-219), auxi = first non-main
+# Object node (joint_det_dataset.py:1393-1399), Scene nouns excluded from
+# others, and the typo/contraction tables (joint_det_dataset.py:1313-1373,
+# including the net "it's"->"itis" ScanRefer quirk). Entries where the
+# reference itself mis-decouples (e.g. "facing the bed , choose the
+# nightstand" picks "bed" as main -- the first-Object rule) are kept faithful
+# to that behavior, not "fixed".
+    ('scanrefer', 'this is a brown cabinet . it is to the right of the stove .',
+     {'main': ['cabinet'], 'modifiers': ['brown'], 'pronouns': ['it'], 'relations': ['to', 'the', 'right', 'of'], 'others': ['stove'], 'auxi': ['stove']}),
+    ('scanrefer', 'the chair is black . it is at the end of the table .',
+     {'main': ['chair'], 'modifiers': ['black'], 'pronouns': ['it'], 'relations': ['at'], 'others': ['table'], 'auxi': ['table']}),
+    ('scanrefer', 'a dark brown wooden door . the door is next to the whiteboard .',
+     {'main': ['door'], 'modifiers': ['dark', 'brown', 'wooden'], 'pronouns': ['door'], 'relations': ['next', 'to'], 'others': ['whiteboard'], 'auxi': ['whiteboard']}),
+    ('scanrefer', 'this is a white refrigerator . it is to the left of the counter .',
+     {'main': ['refrigerator'], 'modifiers': ['white'], 'pronouns': ['it'], 'relations': ['to', 'the', 'left', 'of'], 'others': ['counter'], 'auxi': ['counter']}),
+    ('scanrefer', 'the tv is mounted on the wall . it is above the cabinet .',
+     {'main': ['tv'], 'pronouns': ['it'], 'relations': ['mounted', 'on', 'above'], 'others': ['wall', 'cabinet'], 'auxi': ['wall']}),
+    ('scanrefer', 'there is a long brown couch . it sits under the window .',
+     {'main': ['couch'], 'modifiers': ['long', 'brown'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['window'], 'auxi': ['window']}),
+    ('scanrefer', 'a round wooden table surrounded by four chairs .',
+     {'main': ['table'], 'modifiers': ['round', 'wooden'], 'relations': ['by'], 'others': ['chairs'], 'auxi': ['chairs']}),
+    ('scanrefer', 'the bed with the blue blanket . it is against the far wall .',
+     {'main': ['bed'], 'pronouns': ['it'], 'relations': ['against'], 'others': ['blanket', 'wall'], 'auxi': ['blanket']}),
+    ('scanrefer', 'this is a silver trash can . it is under the sink .',
+     {'main': ['trash', 'can'], 'modifiers': ['silver'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['sink'], 'auxi': ['sink']}),
+    ('scanrefer', 'a black computer monitor sitting on the desk .',
+     {'main': ['computer', 'monitor'], 'modifiers': ['black'], 'relations': ['sitting', 'on'], 'others': ['desk'], 'auxi': ['desk']}),
+    ('scanrefer', 'the tall white bookshelf in the corner of the room .',
+     {'main': ['bookshelf'], 'modifiers': ['tall', 'white'], 'relations': ['in']}),
+    ('scanrefer', 'this is a gray ottoman . it is in front of the armchair .',
+     {'main': ['ottoman'], 'modifiers': ['gray'], 'pronouns': ['it'], 'relations': ['in', 'front', 'of'], 'others': ['armchair'], 'auxi': ['armchair']}),
+    ('scanrefer', 'the picture hanging above the couch . it has a black frame .',
+     {'main': ['picture'], 'pronouns': ['it'], 'relations': ['above'], 'others': ['couch', 'frame'], 'auxi': ['couch']}),
+    ('scanrefer', 'a small wooden nightstand to the left of the bed .',
+     {'main': ['nightstand'], 'modifiers': ['small', 'wooden'], 'relations': ['to', 'the', 'left', 'of'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('scanrefer', 'the lamp on the nightstand next to the bed .',
+     {'main': ['lamp'], 'relations': ['on', 'next', 'to'], 'others': ['nightstand', 'bed'], 'auxi': ['nightstand']}),
+    ('scanrefer', 'this is a blue recycling bin . it is beside the copier .',
+     {'main': ['recycling', 'bin'], 'modifiers': ['blue'], 'pronouns': ['it'], 'relations': ['beside'], 'others': ['copier'], 'auxi': ['copier']}),
+    ('scanrefer', 'the office chair closest to the window . it is red .',
+     {'main': ['office', 'chair'], 'modifiers': ['red'], 'pronouns': ['it'], 'relations': ['closest', 'to'], 'others': ['window'], 'auxi': ['window']}),
+    ('scanrefer', 'a large whiteboard on the wall opposite the door .',
+     {'main': ['whiteboard'], 'modifiers': ['large'], 'relations': ['on', 'opposite'], 'others': ['wall', 'door'], 'auxi': ['wall']}),
+    ('scanrefer', 'the second sink from the left on the bathroom counter .',
+     {'main': ['sink'], 'modifiers': ['second'], 'relations': ['on'], 'others': ['bathroom', 'counter'], 'auxi': ['bathroom', 'counter']}),
+    ('scanrefer', 'this is a radiator . it is under the window sill .',
+     {'main': ['radiator'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['window'], 'auxi': ['window']}),
+    ('scanrefer', 'the laundry basket on the floor next to the dresser .',
+     {'main': ['laundry', 'basket'], 'relations': ['on', 'next', 'to'], 'others': ['floor', 'dresser'], 'auxi': ['floor']}),
+    ('scanrefer', 'a green exercise ball in the corner near the desk .',
+     {'main': ['exercise', 'ball'], 'modifiers': ['green'], 'relations': ['in', 'near'], 'others': ['desk'], 'auxi': ['desk']}),
+    ('scanrefer', 'the keyboard in front of the monitor on the desk .',
+     {'main': ['keyboard'], 'relations': ['in', 'front', 'of', 'on'], 'others': ['monitor', 'desk'], 'auxi': ['monitor']}),
+    ('scanrefer', 'this is a mini fridge . it sits under the counter .',
+     {'main': ['mini', 'fridge'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['counter'], 'auxi': ['counter']}),
+    ('scanrefer', 'the towel hanging on the rack next to the shower .',
+     {'main': ['towel'], 'relations': ['hanging', 'on', 'next', 'to'], 'others': ['rack', 'shower'], 'auxi': ['rack']}),
+    ('scanrefer', 'a piece of cardboard leaning against the wall .',
+     {'main': ['cardboard'], 'relations': ['leaning', 'against'], 'others': ['wall'], 'auxi': ['wall']}),
+    ('scanrefer', 'the urinal on the wall beside the toilet stall .',
+     {'main': ['urinal'], 'relations': ['on', 'beside'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
+    ('scanrefer', 'the trash can between the desk and the file cabinet .',
+     {'main': ['trash', 'can'], 'relations': ['between'], 'others': ['desk', 'file', 'cabinet'], 'auxi': ['desk']}),
+    ('scanrefer', 'this is a printer . the printer is on top of the cabinet .',
+     {'main': ['printer'], 'pronouns': ['printer'], 'relations': ['on', 'top', 'of'], 'others': ['cabinet'], 'auxi': ['cabinet']}),
+    ('scanrefer', 'the couch is brown and long . it faces the television .',
+     {'main': ['couch'], 'modifiers': ['brown', 'long'], 'pronouns': ['it'], 'others': ['television'], 'auxi': ['television']}),
+    ('scanrefer', 'a stack of chairs against the back wall of the room .',
+     {'main': ['stack', 'of', 'chairs'], 'relations': ['against'], 'others': ['back', 'wall'], 'auxi': ['back', 'wall']}),
+    ('scanrefer', 'the backpack on the floor under the desk . it is black .',
+     {'main': ['backpack'], 'modifiers': ['black'], 'pronouns': ['it'], 'relations': ['on', 'under'], 'others': ['floor', 'desk'], 'auxi': ['floor']}),
+    ('scanrefer', 'this is the curtain . it covers the window behind the bed .',
+     {'main': ['curtain'], 'relations': ['behind'], 'others': ['window', 'bed'], 'auxi': ['window']}),
+    ('scanrefer', 'the microwave on the kitchen counter to the right of the stove .',
+     {'main': ['microwave'], 'relations': ['on', 'to', 'the', 'right', 'of'], 'others': ['kitchen', 'counter', 'stove'], 'auxi': ['kitchen', 'counter']}),
+    ('scanrefer', 'a tall potted plant in the corner behind the couch .',
+     {'main': ['potted', 'plant'], 'modifiers': ['tall'], 'relations': ['in', 'behind'], 'others': ['couch'], 'auxi': ['couch']}),
+    ('scanrefer', 'the shelf above the toilet . it holds several towels .',
+     {'main': ['shelf'], 'pronouns': ['it'], 'relations': ['above'], 'others': ['toilet', 'towels'], 'auxi': ['toilet']}),
+    ('scanrefer', 'this is a piano bench . it is in front of the piano .',
+     {'main': ['piano', 'bench'], 'pronouns': ['it'], 'relations': ['in', 'front', 'of'], 'others': ['piano'], 'auxi': ['piano']}),
+    ('scanrefer', 'the guitar leaning against the wall next to the amplifier .',
+     {'main': ['guitar'], 'relations': ['leaning', 'against', 'next', 'to'], 'others': ['wall'], 'auxi': ['wall']}),
+    ('scanrefer', 'a white pillow at the head of the bed on the left side .',
+     {'main': ['pillow'], 'modifiers': ['white'], 'relations': ['at', 'on'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('scanrefer', 'the computer tower under the desk beside the drawers .',
+     {'main': ['computer', 'tower'], 'relations': ['under', 'beside'], 'others': ['desk', 'drawers'], 'auxi': ['desk']}),
+    ('scanrefer', 'this is a coffee table . it is in the middle of the room .',
+     {'main': ['coffee', 'table'], 'pronouns': ['it'], 'relations': ['in', 'the', 'middle', 'of']}),
+    ('scanrefer', 'the jacket hanging on the back of the chair .',
+     {'main': ['jacket'], 'relations': ['hanging', 'on'], 'others': ['chair'], 'auxi': ['chair']}),
+    ('scanrefer', 'a blue suitcase on the floor at the foot of the bed .',
+     {'main': ['suitcase'], 'modifiers': ['blue'], 'relations': ['on', 'at'], 'others': ['floor', 'bed'], 'auxi': ['floor']}),
+    ('scanrefer', 'the soap dispenser mounted on the wall above the sink .',
+     {'main': ['soap', 'dispenser'], 'relations': ['mounted', 'on', 'above'], 'others': ['wall', 'sink'], 'auxi': ['wall']}),
+    ('scanrefer', 'this is a ceiling fan . it hangs in the center of the room .',
+     {'main': ['ceiling', 'fan'], 'pronouns': ['it'], 'relations': ['in', 'the', 'center', 'of']}),
+    ('scanrefer', 'the mirror above the bathroom sink . it is rectangular .',
+     {'main': ['mirror'], 'modifiers': ['rectangular'], 'pronouns': ['it'], 'relations': ['above'], 'others': ['bathroom', 'sink'], 'auxi': ['bathroom', 'sink']}),
+    ('scanrefer', 'a folded blanket at the end of the bed . it is white .',
+     {'main': ['blanket'], 'modifiers': ['folded', 'white'], 'pronouns': ['it'], 'relations': ['at'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('scanrefer', 'the water bottle on the desk next to the laptop .',
+     {'main': ['water', 'bottle'], 'relations': ['on', 'next', 'to'], 'others': ['desk', 'laptop'], 'auxi': ['desk']}),
+    ('scanrefer', 'this is a shoe rack . it is by the door .',
+     {'main': ['shoe', 'rack'], 'pronouns': ['it'], 'relations': ['by'], 'others': ['door'], 'auxi': ['door']}),
+    ('scanrefer', 'the armchair in the corner . it is brown leather .',
+     {'main': ['armchair'], 'modifiers': ['brown', 'leather'], 'pronouns': ['it'], 'relations': ['in']}),
+    ('nr3d', 'the chair nearest the door',
+     {'main': ['chair'], 'relations': ['nearest'], 'others': ['door'], 'auxi': ['door']}),
+    ('nr3d', 'pick the monitor on the left',
+     {'main': ['monitor'], 'relations': ['on']}),
+    ('nr3d', 'the pillow closest to the headboard',
+     {'main': ['pillow'], 'relations': ['closest', 'to'], 'others': ['headboard'], 'auxi': ['headboard']}),
+    ('nr3d', 'select the lamp that is on the desk',
+     {'main': ['lamp'], 'relations': ['on'], 'others': ['desk'], 'auxi': ['desk']}),
+    ('nr3d', 'facing the bed , choose the nightstand on the right',
+     {'main': ['bed'], 'relations': ['on'], 'others': ['nightstand'], 'auxi': ['nightstand']}),
+    ('nr3d', 'the trash can that is next to the refrigerator',
+     {'main': ['trash', 'can'], 'relations': ['next', 'to'], 'others': ['refrigerator'], 'auxi': ['refrigerator']}),
+    ('nr3d', 'when facing the window , it is the curtain on the left side',
+     {'main': ['window'], 'pronouns': ['it'], 'relations': ['on'], 'others': ['curtain'], 'auxi': ['curtain']}),
+    ('nr3d', 'choose the chair closest to the whiteboard',
+     {'main': ['chair'], 'relations': ['closest', 'to'], 'others': ['whiteboard'], 'auxi': ['whiteboard']}),
+    ('nr3d', 'the middle cushion on the couch',
+     {'main': ['middle', 'cushion'], 'relations': ['on'], 'others': ['couch'], 'auxi': ['couch']}),
+    ('nr3d', 'theses chairs are near the 3-tier shelf .',
+     {'main': ['chairs'], 'relations': ['near'], 'others': ['shelf'], 'auxi': ['shelf']}),
+    ('nr3d', 'the box on top of the other boxes',
+     {'main': ['box'], 'relations': ['on', 'top', 'of'], 'others': ['boxes'], 'auxi': ['boxes']}),
+    ('nr3d', 'find the towel hanging closest to the shower',
+     {'main': ['towel'], 'relations': ['closest', 'to'], 'others': ['shower'], 'auxi': ['shower']}),
+    ('nr3d', 'the plant next to the tv',
+     {'main': ['plant'], 'relations': ['next', 'to'], 'others': ['tv'], 'auxi': ['tv']}),
+    ('nr3d', 'the smaller table between the couches',
+     {'main': ['table'], 'modifiers': ['smaller'], 'relations': ['between'], 'others': ['couches'], 'auxi': ['couches']}),
+    ('nr3d', 'the backpack furthest from the door',
+     {'main': ['backpack'], 'relations': ['furthest', 'from'], 'others': ['door'], 'auxi': ['door']}),
+    ('nr3d', 'the lamp that is turned on',
+     {'main': ['lamp'], 'relations': ['on']}),
+    ('nr3d', 'if you are facing the desk , it is the chair on your left',
+     {'main': ['desk'], 'pronouns': ['it'], 'relations': ['on'], 'others': ['chair'], 'auxi': ['chair']}),
+    ('nr3d', 'the first pillow from the left on the bed',
+     {'main': ['pillow'], 'modifiers': ['first'], 'relations': ['on'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('nr3d', 'the shelf second from the top',
+     {'main': ['shelf'], 'modifiers': ['second']}),
+    ('nr3d', 'the darker couch of the two',
+     {'main': ['couch'], 'modifiers': ['darker']}),
+    ('sr3d', 'the chair that is near the table',
+     {'main': ['chair'], 'relations': ['near'], 'others': ['table'], 'auxi': ['table']}),
+    ('sr3d', 'the pillow that is on the bed',
+     {'main': ['pillow'], 'relations': ['on'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('sr3d', 'the monitor that is close to the lamp',
+     {'main': ['monitor'], 'relations': ['close', 'to'], 'others': ['lamp'], 'auxi': ['lamp']}),
+    ('sr3d', 'the trash can that is in the corner',
+     {'main': ['trash', 'can'], 'relations': ['in']}),
+    ('sr3d', 'the bag that is under the desk',
+     {'main': ['bag'], 'relations': ['under'], 'others': ['desk'], 'auxi': ['desk']}),
+    ('sr3d', 'the towel that is above the bathtub',
+     {'main': ['towel'], 'relations': ['above'], 'others': ['bathtub'], 'auxi': ['bathtub']}),
+    ('sr3d', 'the chair that is between the couch and the table',
+     {'main': ['chair'], 'relations': ['between'], 'others': ['couch', 'table'], 'auxi': ['couch']}),
+    ('sr3d', 'the plant that is far from the door',
+     {'main': ['plant'], 'relations': ['far', 'from'], 'others': ['door'], 'auxi': ['door']}),
+    ('sr3d', 'the book that is on top of the nightstand',
+     {'main': ['book'], 'relations': ['on', 'top', 'of'], 'others': ['nightstand'], 'auxi': ['nightstand']}),
+    ('sr3d', 'the shoe that is below the bench',
+     {'main': ['shoe'], 'relations': ['below'], 'others': ['bench'], 'auxi': ['bench']}),
+    ('sr3d', 'the cup that is next to the sink',
+     {'main': ['cup'], 'relations': ['next', 'to'], 'others': ['sink'], 'auxi': ['sink']}),
+    ('sr3d', 'the picture that is behind the television',
+     {'main': ['picture'], 'relations': ['behind'], 'others': ['television'], 'auxi': ['television']}),
+    ('sr3d', 'the window that is beside the bookshelf',
+     {'main': ['window'], 'relations': ['beside'], 'others': ['bookshelf'], 'auxi': ['bookshelf']}),
+    ('sr3d', 'the keyboard that is in front of the monitor',
+     {'main': ['keyboard'], 'relations': ['in', 'front', 'of'], 'others': ['monitor'], 'auxi': ['monitor']}),
+    ('sr3d', 'the lamp that is on the nightstand',
+     {'main': ['lamp'], 'relations': ['on'], 'others': ['nightstand'], 'auxi': ['nightstand']}),
+    ('scanrefer', "it's the couch next to the 2-door cabinet .",
+     {'main': ['couch'], 'relations': ['next', 'to'], 'others': ['door', 'cabinet'], 'auxi': ['door', 'cabinet']}),
+    ('scanrefer', 'theses chairs are near the 3-tier shelf .',
+     {'main': ['chairs'], 'relations': ['near'], 'others': ['shelf'], 'auxi': ['shelf']}),
+    ('scanrefer', 'the desk is long and narrow . it is against the wall .',
+     {'main': ['desk'], 'modifiers': ['long', 'narrow'], 'pronouns': ['it'], 'relations': ['against'], 'others': ['wall'], 'auxi': ['wall']}),
+    ('scanrefer', 'the curtains are blue . they cover the windows .',
+     {'main': ['curtains'], 'modifiers': ['blue'], 'others': ['windows'], 'auxi': ['windows']}),
+    ('scanrefer', 'this chair is small and black . it is near the piano .',
+     {'main': ['chair'], 'modifiers': ['small', 'black'], 'pronouns': ['it'], 'relations': ['near'], 'others': ['piano'], 'auxi': ['piano']}),
+    ('scanrefer', 'the rug is round . the couch sits on the rug .',
+     {'main': ['rug'], 'modifiers': ['round'], 'pronouns': ['rug'], 'relations': ['on'], 'others': ['couch'], 'auxi': ['couch']}),
+    ('scanrefer', 'the file cabinet under the printer stand .',
+     {'main': ['file', 'cabinet'], 'relations': ['under'], 'others': ['printer'], 'auxi': ['printer']}),
+    ('scanrefer', 'a paper towel dispenser next to the sink .',
+     {'main': ['paper', 'towel', 'dispenser'], 'relations': ['next', 'to'], 'others': ['sink'], 'auxi': ['sink']}),
+    ('scanrefer', 'the toilet paper holder on the wall beside the toilet .',
+     {'main': ['toilet', 'paper', 'holder'], 'relations': ['on', 'beside'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
+    ('scanrefer', 'the kitchen cabinets above the counter .',
+     {'main': ['kitchen', 'cabinets'], 'relations': ['above'], 'others': ['counter'], 'auxi': ['counter']}),
+    ('scanrefer', 'a shower curtain hanging in front of the bathtub .',
+     {'main': ['shower', 'curtain'], 'relations': ['in', 'front', 'of'], 'others': ['bathtub'], 'auxi': ['bathtub']}),
+    ('nr3d', 'thats the lamp on the left-hand side of the bed',
+     {'main': ['lamp'], 'relations': ['on'], 'others': ['bed'], 'auxi': ['bed']}),
+    ('nr3d', "you're facing the desk ; it's the chair in the middle",
+     {'main': ['desk'], 'pronouns': ['it'], 'relations': ['in'], 'others': ['chair'], 'auxi': ['chair']}),
+    ('nr3d', "the shelf that isn't against the wall",
+     {'main': ['shelf'], 'relations': ['against'], 'others': ['wall'], 'auxi': ['wall']}),
+    ('scanrefer', 'the 5-drawer dresser next to the closet .',
+     {'main': ['drawer', 'dresser'], 'relations': ['next', 'to'], 'others': ['closet'], 'auxi': ['closet']}),
+    ('scanrefer', 'i am looking at the 3-seater couch facing the tv .',
+     {'main': ['couch'], 'relations': ['at'], 'others': ['tv'], 'auxi': ['tv']}),
 ]
 
 
