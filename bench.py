@@ -100,23 +100,43 @@ def bench_forward(model, variables, batch, iters: int = 20, inner: int = 4) -> f
     return batch["inputs"]["point_clouds"].shape[0] / dt
 
 
-def bench_train(model, variables, batch, cfg: ModelConfig, iters: int = 10) -> float:
+def bench_train(
+    model, variables, batch, cfg: ModelConfig, iters: int = 10,
+    inner: int = 4,
+) -> float:
+    """Chain ``inner`` full train steps inside one jit (lax.scan over the
+    evolving TrainState) so the ~35 ms tunnel dispatch amortizes — the same
+    honesty rule as ``bench_forward``. No CSE hazard: each iteration's
+    params differ, so XLA cannot hoist the step."""
     from eda_tpu.train import TrainState, make_optimizer, make_train_step
 
     crit = SetCriterionConfig(num_decoder_layers=cfg.num_decoder_layers)
     tx = make_optimizer(TrainConfig(), variables["params"], steps_per_epoch=1000)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     step = make_train_step(model, crit, donate=False)
+    # un-nest the step's own jit inside the scan: tracing a jitted callee
+    # under scan re-enters the dispatch path per iteration and slows the
+    # outer compile dramatically
+    step = getattr(step, "__wrapped__", step)
     rng = jax.random.key(0)
-    state, m = step(state, batch, rng)
-    _force(m["loss"])
+
+    @jax.jit
+    def step_n(state):
+        def body(s, _):
+            s, m = step(s, batch, rng)
+            return s, m["loss"]
+        s, losses = jax.lax.scan(body, state, None, length=inner)
+        return s, losses[-1]
+
+    state, loss = step_n(state)
+    _force(loss)
     times = []
-    for _ in range(iters):
+    for _ in range(max(iters // inner, 3)):
         t0 = time.perf_counter()
-        state, m = step(state, batch, rng)
-        _force(m["loss"])
+        state, loss = step_n(state)
+        _force(loss)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / inner
     return batch["inputs"]["point_clouds"].shape[0] / dt
 
 

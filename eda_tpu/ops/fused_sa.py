@@ -615,7 +615,18 @@ def fused_set_abstraction(
     # is exactly pooling over (window neighborhood) U {self}, and guarantees
     # a non-degenerate output like the reference's first-hit fill
     # (ball_query_gpu.cu:38-43).
-    a_self = jnp.take_along_axis(A, jnp.clip(ranks[:, :M], 0, N - 1)[..., None], axis=1)
+    # Flagged gather: center ranks are unique (FPS never repeats an index on
+    # real scenes) and — except in dense mode without rank order, where they
+    # stay in center_idx order — ascending, so the transpose scatter-add of
+    # dA vectorizes instead of serializing; the unflagged scatter was the
+    # single largest non-Pallas op in the train step (11 ms).
+    ranks_sorted = presorted or not dense or return_rank_order
+    a_self = jax.vmap(
+        lambda a, r: a.at[r].get(
+            mode="promise_in_bounds", unique_indices=True,
+            indices_are_sorted=ranks_sorted,
+        )
+    )(A, jnp.clip(ranks[:, :M], 0, N - 1))
     h_self = jax.nn.relu(a_self + b_c[:, :M]).astype(compute_dtype)
     for i, (k, b) in enumerate(zip(kers, bias)):
         h_self = h_self @ k + b

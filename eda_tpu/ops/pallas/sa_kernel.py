@@ -52,6 +52,21 @@ def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
+def _ln_stats(x, c_real: int):
+    """(mean, var) over the first ``c_real`` lanes of (P, C_pad) f32 ``x``.
+
+    Relies on the kernel invariant that PADDING LANES ARE EXACTLY ZERO
+    (weight columns and biases are zero-padded), so full-width sums equal
+    real-lane sums: mean = S1/c, var = S2/c - mean**2 — no iota/where masks,
+    which cost 3 extra pair-grid passes per LayerNorm.
+    """
+    s1 = jnp.sum(x, axis=1, keepdims=True)
+    s2 = jnp.sum(x * x, axis=1, keepdims=True)
+    mean = s1 / c_real
+    var = jnp.maximum(s2 / c_real - mean * mean, 0.0)
+    return mean, var
+
+
 def _ln_relu_masked(x, scale, bias, c_real: int, eps=1e-5):
     """f32 LayerNorm over the first ``c_real`` lanes + ReLU.
 
@@ -59,18 +74,7 @@ def _ln_relu_masked(x, scale, bias, c_real: int, eps=1e-5):
     forces padding lanes to zero after normalization.
     """
     x = x.astype(jnp.float32)
-    if c_real == x.shape[-1]:
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
-    else:
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        mask = lane < c_real
-        xm = jnp.where(mask, x, 0.0)
-        mean = jnp.sum(xm, axis=1, keepdims=True) / c_real
-        var = (
-            jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=1, keepdims=True)
-            / c_real
-        )
+    mean, var = _ln_stats(x, c_real)
     out = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
     return jnp.maximum(out, 0.0)
 
@@ -79,9 +83,25 @@ def _make_kernel(
     widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float,
     with_winners: bool = False,
 ):
+    """POINT-major pair kernel: pair row ``p * cm + c`` pairs window point
+    ``p`` with block center ``c``.
+
+    Point-major makes the two hot per-tile reductions tree-foldable: rows
+    ``j`` and ``j + h`` (h a multiple of cm) always belong to the SAME
+    center, so the per-center masked max (and winner-argmax) folds the
+    sublane axis in log2(wc) full-width VPU ops instead of a cm-iteration
+    loop of single-sublane updates. The point side replicates through one
+    bf16 0/1 matmul on the MXU (exact; fused with the center-bias add via a
+    concatenated [R1 | S] operand), the center side tiles by concatenation
+    (``pltpu.repeat``), and the radius test runs on the COMPACT (wc, cm)
+    grid via a window-centered f32 MXU dot — skipped tiles cost almost
+    nothing, and live tiles avoid the (P, 128) coordinate-replication
+    passes entirely.
+    """
     n_layers = len(widths)
 
-    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
+    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, cent_ref,
+               r1sel_ref, *rest):
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
         param_refs = rest[:n_p]
         out_ref = rest[n_p]
@@ -138,38 +158,74 @@ def _make_kernel(
         a_win = a_buf.at[slot]
         xyz_win = xyz_buf.at[slot]
 
-        # Pair rows are CENTER-major: row c * wc + p pairs center c with
-        # window point p. The point side then replicates with a cheap tile
-        # (pltpu.repeat has concat semantics), and the center side expands
-        # through a small (P, cm) kron matmul — 8-16x fewer MACs than
-        # expanding the point side would need.
-        bc = bc_ref[0]  # (cm, C_pad)
+        P = cm * wc
+        bc = bc_ref[0]  # (cm, C_pad) bf16
         cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
-        R2 = r1_ref[:, :]  # (P, cm) f32: R2[c*wc + p, c] = 1
-        bc_rep = jnp.dot(
-            R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
-        )  # (P, C_pad)
-        cen_rep = jnp.dot(
-            R2, cen, preferred_element_type=jnp.float32
-        )  # (P, 128)
+        cen_t = cent_ref[0]  # (128, cm): transposed centers, sublanes=coords
+        r1 = r1sel_ref[:, :wc]  # (P, wc) bf16: r1[p*cm + c, p] = 1
+        sel = r1sel_ref[:, wc:wc + cm]  # (P, cm) bf16: sel[p*cm + c, c] = 1
+        r1sel = r1sel_ref[:, :]  # (P, wc + cm): fused replicate-and-add
+
+        # Window-centered coordinates kill the |p|^2 - 2p.c + |c|^2
+        # cancellation (raw coords are O(5) m, the radius is 0.2 m): center
+        # on the block's first center so every term is O(window extent).
+        c0_row = cen[0:1, :]  # (1, 128)
+        c0_col = cen_t[:, 0:1]  # (128, 1)
+        xyz_c = xyz_win[:, :] - c0_row  # (W, 128); padding lanes stay 0
+        cen_tc = cen_t - c0_col  # (128, cm)
+        pmag = jnp.sum(xyz_c * xyz_c, axis=1, keepdims=True)  # (W, 1)
+        cmag = jnp.sum(cen_tc * cen_tc, axis=0, keepdims=True)  # (1, cm)
+
+        # point index p of pair row p*cm + c, kept in f32: ranks are < 2^24
+        # so the fold arithmetic is exact, and f32 selects avoid a Mosaic
+        # crash (vector_extract_slice) on int32 tensors wider than one
+        # lane-vreg (c_out_pad = 256)
+        rows_pm = jnp.floor(
+            jax.lax.broadcasted_iota(
+                jnp.float32, (P, acc[:, :].shape[1]), 0
+            ) * (1.0 / cm)
+        )
 
         def tile_body(t):
-            xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
-            p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile semantics
-            delta = p_xyz - cen_rep  # padding lanes are zero on both sides
-            d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
+            # radius test on the COMPACT (wc, cm) grid: one small f32 MXU
+            # dot against the transposed centers — skipped tiles never touch
+            # the (P, C) pair grid at all.
+            xw_c = xyz_c[t * wc:(t + 1) * wc, :]  # (wc, 128) f32
+            dot = jax.lax.dot_general(
+                xw_c, cen_tc,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (wc, cm)
+            d2 = pmag[t * wc:(t + 1) * wc, :] - 2.0 * dot + cmag  # (wc, cm)
             in_radius = d2 <= r2
 
             @pl.when(jnp.any(in_radius))
             def _():
+                # replicate the 0/1 radius mask to pair rows: r1 spreads each
+                # point's center-row, sel picks the row's own center column
+                ir_pm = jnp.dot(
+                    r1, in_radius.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # (P, cm)
+                in_r = jnp.sum(
+                    ir_pm * sel.astype(jnp.float32), axis=1, keepdims=True
+                ) > 0.5  # (P, 1)
+
                 # A arrives PRE-NORMALIZED (layer 0's LN runs on the point
                 # grid outside); the last layer's LN+ReLU runs on the pooled
                 # centers outside. Only interior layers pay pair-grid LN —
                 # measured on v5e, each pair-grid LN costs as much as the
                 # whole tile's MXU matmuls.
-                awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
-                aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
-                h = jnp.maximum(aw_rep + bc_rep, 0.0).astype(jnp.bfloat16)
+                # h0 = relu(A_p + b_c) via ONE bf16 matmul: [R1 | S] @
+                # [A_tile; b_c] replicates the point rows AND adds the
+                # center offsets in the f32 accumulator (0/1 weights: exact).
+                ab = jnp.concatenate(
+                    [a_win[pl.ds(t * wc, wc), :], bc], axis=0
+                )  # (wc + cm, C_pad) bf16
+                h0_pre = jnp.dot(
+                    r1sel, ab, preferred_element_type=jnp.float32
+                )  # (P, C_pad)
+                h = jnp.maximum(h0_pre, 0.0).astype(jnp.bfloat16)
                 for li in range(1, n_layers):
                     w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
                     h_pre = (
@@ -186,39 +242,29 @@ def _make_kernel(
                     else:
                         h = h_pre  # last layer: pool the f32 pre-activation
 
-                masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
-                # center-major segmented max: each center's wc rows reduce
-                # across sublanes
-                if not with_winners:
-                    for c in range(cm):
-                        seg = masked[c * wc:(c + 1) * wc, :]
-                        acc[c:c + 1, :] = jnp.maximum(
-                            acc[c:c + 1, :], jnp.max(seg, axis=0, keepdims=True)
-                        )
-                else:
-                    # winner export: per (center, channel) the GLOBAL rank of
-                    # the argmax point. In-tile argmax via masked row-iota
-                    # (Mosaic has no sublane argmax primitive); across tiles
-                    # strict > keeps the first-seen max like the running fold.
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (wc, masked.shape[1]), 0
+                masked = jnp.where(in_r, h.astype(jnp.float32), _NEG)
+                # point-major segmented max: rows j and j + h share a center
+                # whenever h is a multiple of cm, so log2(wc) sublane-half
+                # folds reduce (P, C) to the (cm, C) per-center maxes.
+                val = masked
+                if with_winners:
+                    idx = rows_pm + (win_start + t * wc).astype(jnp.float32)
+                    while val.shape[0] > cm:
+                        half = val.shape[0] // 2
+                        a, b2 = val[:half], val[half:]
+                        keep = a >= b2  # ties keep the lower point rank
+                        idx = jnp.where(keep, idx[:half], idx[half:])
+                        val = jnp.where(keep, a, b2)
+                    better = val > acc[:, :]  # strict: first tile wins ties
+                    acc_idx[:, :] = jnp.where(
+                        better, idx.astype(jnp.int32), acc_idx[:, :]
                     )
-                    for c in range(cm):
-                        seg = masked[c * wc:(c + 1) * wc, :]
-                        seg_max = jnp.max(seg, axis=0, keepdims=True)
-                        in_seg = jnp.max(
-                            jnp.where(seg >= seg_max, rows, -1),
-                            axis=0,
-                            keepdims=True,
-                        )  # (1, C) row index of the (last) max in this tile
-                        better = seg_max > acc[c:c + 1, :]
-                        acc_idx[c:c + 1, :] = jnp.where(
-                            better, win_start + t * wc + in_seg,
-                            acc_idx[c:c + 1, :],
-                        )
-                        acc[c:c + 1, :] = jnp.where(
-                            better, seg_max, acc[c:c + 1, :]
-                        )
+                    acc[:, :] = jnp.where(better, val, acc[:, :])
+                else:
+                    while val.shape[0] > cm:
+                        half = val.shape[0] // 2
+                        val = jnp.maximum(val[:half], val[half:])
+                    acc[:, :] = jnp.maximum(acc[:, :], val)
 
         # static (unrolled) loop: slice offsets must be compile-time aligned
         for t in range(W // wc):
@@ -349,19 +395,25 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
         )
         rows_rep = pltpu.repeat(rows, cm, axis=0)  # (P, c_out_pad) tile
 
+        win_blk = win_ref[0]  # (cm, c_out_pad) int32
+        g_blk = g_ref[0]  # (cm, c_out_pad) f32
+
         def tile_body(t):
-            grow = rows_rep + (win_start + t * wc)
-            eq = grow == win_rep  # (P, c_out_pad)
             # skip on ZERO COTANGENT, not just winner presence: centers whose
             # pooled value lost to the self term (or padding centers) carry
             # g = 0, and the winner default rank 0 would otherwise force
-            # tile 0 to run everywhere. Bool mask only out here — the f32
-            # cotangent tensor would blow the scoped-VMEM budget at SA2+
-            # sizes when live across the pl.when boundary.
-            live = eq & (g_rep != 0.0)
+            # tile 0 to run everywhere. The liveness test runs on the COMPACT
+            # (cm, c_out) block arrays — the replicated (P, c_out) masks are
+            # only materialized inside the live branch.
+            lo = win_start + t * wc
+            live = (
+                (win_blk >= lo) & (win_blk < lo + wc) & (g_blk != 0.0)
+            )  # (cm, c_out_pad)
 
             @pl.when(jnp.any(live))
             def _():
+                grow = rows_rep + lo
+                eq = grow == win_rep  # (P, c_out_pad)
                 d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
                 # ---- recompute forward (skip the last matmul: its output
                 # only fed the max, whose cotangent comes from g & winners)
@@ -379,21 +431,11 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
                     )
                     c_real = widths[li]
                     x = h_pre
-                    if c_real == x.shape[-1]:
-                        mean = jnp.mean(x, axis=1, keepdims=True)
-                        var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
-                    else:
-                        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-                        lmask = lane < c_real
-                        xm = jnp.where(lmask, x, 0.0)
-                        mean = jnp.sum(xm, axis=1, keepdims=True) / c_real
-                        var = (
-                            jnp.sum(
-                                jnp.where(lmask, (x - mean) ** 2, 0.0),
-                                axis=1, keepdims=True,
-                            )
-                            / c_real
-                        )
+                    # same sum-based stats as the forward (_ln_stats):
+                    # padding lanes are exactly zero, so full-width sums
+                    # equal real-lane sums — and the recompute matches the
+                    # forward's values bit for bit.
+                    mean, var = _ln_stats(x, c_real)
                     rstd = jax.lax.rsqrt(var + 1e-5)
                     xhat = (x - mean) * rstd
                     out = xhat * p_refs[("scale", li)][:, :] + p_refs[("lnb", li)][:, :]
@@ -730,12 +772,26 @@ def sa_pair_pool_pallas(
     xyz_pad = _pad_lanes(xyz_sorted, _LANE).astype(jnp.float32)
     bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
     cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
+    # transposed center blocks (coords on sublanes) for the in-kernel
+    # radius dot: (B, n_blocks * 128, block)
+    cen_t = (
+        cen_pad.reshape(B, n_blocks, block, _LANE)
+        .transpose(0, 1, 3, 2)
+        .reshape(B, n_blocks * _LANE, block)
+    )
 
-    # 0/1 center-expansion matrix (center-major): R2[c*wc + p, c] = 1. f32 so
-    # replicated coordinates stay exact for the radius test.
-    R2 = jnp.asarray(
-        np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
-    )  # (block*wc, block)
+    # fused 0/1 replication operand (point-major): [R1 | S] with
+    # R1[p*cm + c, p] = 1 (point replication) and S[p*cm + c, c] = 1
+    # (center selection). bf16 is exact for 0/1 weights.
+    R1SEL = jnp.asarray(
+        np.concatenate(
+            [
+                np.kron(np.eye(wc, dtype=np.float32), np.ones((block, 1), np.float32)),
+                np.kron(np.ones((wc, 1), np.float32), np.eye(block, dtype=np.float32)),
+            ],
+            axis=1,
+        )
+    ).astype(jnp.bfloat16)  # (block*wc, wc + block)
 
     starts = (starts // 128) * 128
 
@@ -773,7 +829,11 @@ def sa_pair_pool_pallas(
                 (1, block, _LANE), lambda b, blk, starts: (b, blk, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # R1
+            pl.BlockSpec(
+                (1, _LANE, block), lambda b, blk, starts: (b, blk, 0),
+                memory_space=pltpu.VMEM,
+            ),  # cen_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # R1SEL
         ] + flat_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
@@ -782,6 +842,12 @@ def sa_pair_pool_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        # the point-major tile pipeline keeps the centered window, the fold
+        # chain, and (with winners) the rank tensor live at once — past the
+        # 16M default scoped budget at SA1 sizes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         starts.reshape(-1).astype(jnp.int32),
@@ -789,7 +855,8 @@ def sa_pair_pool_pallas(
         xyz_pad,
         bc_pad,
         cen_pad,
-        R2,
+        cen_t,
+        R1SEL,
         *flat_params,
     )
     if with_winners:
