@@ -20,9 +20,9 @@ Layout (every op Mosaic-friendly):
   pair work ~4x vs wide blocks, and whole out-of-radius tiles skip their
   MLP via ``pl.when``;
 * manually-DMA'd arrays must have 128-aligned lane dims, so A and xyz are
-  zero-padded to 128 lanes and LayerNorm masks down to the real channel
-  width per layer (padding lanes carry zero scale/bias so they stay zero
-  through the MLP).
+  zero-padded to 128 lanes; padding lanes carry zero weights/scale/bias so
+  they stay EXACTLY zero through the MLP, which lets LayerNorm use
+  full-width sums (``_ln_stats``) instead of masked reductions.
 
 Layer-1 separability (see ``ops/fused_sa.py``) happens outside: the kernel
 receives ``A = [xyz/r; f] @ W1 + b1`` per point and the per-center offsets
@@ -176,14 +176,14 @@ def _make_kernel(
         pmag = jnp.sum(xyz_c * xyz_c, axis=1, keepdims=True)  # (W, 1)
         cmag = jnp.sum(cen_tc * cen_tc, axis=0, keepdims=True)  # (1, cm)
 
-        # point index p of pair row p*cm + c, kept in f32: ranks are < 2^24
-        # so the fold arithmetic is exact, and f32 selects avoid a Mosaic
-        # crash (vector_extract_slice) on int32 tensors wider than one
-        # lane-vreg (c_out_pad = 256)
+        # point index p of pair row p*cm + c, kept as an f32 COLUMN: ranks
+        # are < 2^24 so the fold arithmetic is exact; f32 selects avoid a
+        # Mosaic crash (vector_extract_slice) on int32 tensors wider than
+        # one lane-vreg (c_out_pad = 256), and the (P, 1) column broadcasts
+        # to (rows, C) inside the first winner fold's where.
         rows_pm = jnp.floor(
-            jax.lax.broadcasted_iota(
-                jnp.float32, (P, acc[:, :].shape[1]), 0
-            ) * (1.0 / cm)
+            jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
+            * (1.0 / cm)
         )
 
         def tile_body(t):
@@ -607,7 +607,7 @@ def sa_pair_pool_bwd_pallas(
         jax.ShapeDtypeStruct((B, M, c1_pad), jnp.float32),  # db_c
     ]
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, block, c1_pad), blk_map, memory_space=pltpu.VMEM),
     ]
     for li in range(1, n_layers):
@@ -635,8 +635,8 @@ def sa_pair_pool_bwd_pallas(
         num_scalar_prefetch=1,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # da_init (aliased to dA)
+            pl.BlockSpec(memory_space=pl.ANY),  # a_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # da_init (aliased to dA)
             pl.BlockSpec((1, block, c1_pad), blk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, c_out_pad), blk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, c_out_pad), blk_map, memory_space=pltpu.VMEM),
@@ -819,8 +819,8 @@ def sa_pair_pool_pallas(
         num_scalar_prefetch=1,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a_pad (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xyz_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # a_pad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # xyz_pad (HBM)
             pl.BlockSpec(
                 (1, block, c1_pad), lambda b, blk, starts: (b, blk, 0),
                 memory_space=pltpu.VMEM,
