@@ -615,18 +615,30 @@ def fused_set_abstraction(
     # is exactly pooling over (window neighborhood) U {self}, and guarantees
     # a non-degenerate output like the reference's first-hit fill
     # (ball_query_gpu.cu:38-43).
-    # Flagged gather: center ranks are unique (FPS never repeats an index on
-    # real scenes) and — except in dense mode without rank order, where they
-    # stay in center_idx order — ascending, so the transpose scatter-add of
-    # dA vectorizes instead of serializing; the unflagged scatter was the
-    # single largest non-Pallas op in the train step (11 ms).
+    # a_self is RECOMPUTED from the gathered raw inputs rather than gathered
+    # from A: gathering A would make the backward scatter-add a (B*N, c1)
+    # cotangent into dA — measured as the single largest non-Pallas op in
+    # the train step (11 ms at SA1, where N = 50k). Recomputing moves the
+    # gather to the (B, M, 3+C) INPUT rows, whose cotangent either vanishes
+    # (SA1: xyz/colors are leaf data, so XLA drops the scatter entirely) or
+    # is no larger than before. Same ops, same dtypes — values match the
+    # A-gather formulation to bf16 rounding.
+    self_idx = jnp.clip(ranks[:, :M], 0, N - 1)
     ranks_sorted = presorted or not dense or return_rank_order
-    a_self = jax.vmap(
+    gath = lambda x: jax.vmap(  # noqa: E731
         lambda a, r: a.at[r].get(
             mode="promise_in_bounds", unique_indices=True,
             indices_are_sorted=ranks_sorted,
         )
-    )(A, jnp.clip(ranks[:, :M], 0, N - 1))
+    )(x, self_idx)
+    self_in = gath(pts_in)
+    a_self = (
+        self_in.astype(compute_dtype) @ w1.astype(compute_dtype)
+        + params.biases[0].astype(compute_dtype)
+    )
+    a_self = _ln(a_self, params.ln_scales[0], params.ln_biases[0]).astype(
+        compute_dtype
+    )
     h_self = jax.nn.relu(a_self + b_c[:, :M]).astype(compute_dtype)
     for i, (k, b) in enumerate(zip(kers, bias)):
         h_self = h_self @ k + b

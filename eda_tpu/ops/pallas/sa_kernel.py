@@ -9,12 +9,14 @@ the pair matmuls on the MXU, masks by radius, and folds a per-center running
 max. Only the per-point projection ``A`` and the (M, c_out) output touch HBM.
 
 Layout (every op Mosaic-friendly):
-* pair tensors are (P, C): the point-major pair axis ``p * cm + c`` on
+* pair tensors are (P, C): the CENTER-major pair axis ``c * wc + p`` on
   sublanes, channels on lanes — natural matmul orientation, LayerNorm is a
-  lane reduction, and the per-center max folds halves of the sublane axis
-  (rows j and j + P/2 always belong to the same center);
-* point-side rows replicate through a constant 0/1 kron matrix on the MXU
-  (``R1 = kron(I_wc, 1_cm)``), center-side rows tile by concatenation;
+  lane reduction, and the per-center max reduces each center's contiguous
+  ``wc`` rows (see ``_make_kernel`` for why the point-major/tree-fold
+  variant lost the A/B);
+* center-side rows expand through a constant 0/1 kron matmul on the MXU
+  (``R2 = kron(I_cm, 1_wc)``), point-side rows tile by concatenation
+  (``pltpu.repeat``);
 * blocks are SMALL (cm ~ 8-16 centers): rank-sorted centers are spatially
   local, so a small block needs only a short window (W ~ 512), cutting total
   pair work ~4x vs wide blocks, and whole out-of-radius tiles skip their
@@ -83,25 +85,24 @@ def _make_kernel(
     widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float,
     with_winners: bool = False,
 ):
-    """POINT-major pair kernel: pair row ``p * cm + c`` pairs window point
-    ``p`` with block center ``c``.
+    """CENTER-major pair kernel: pair row ``c * wc + p`` pairs block center
+    ``c`` with window point ``p``.
 
-    Point-major makes the two hot per-tile reductions tree-foldable: rows
-    ``j`` and ``j + h`` (h a multiple of cm) always belong to the SAME
-    center, so the per-center masked max (and winner-argmax) folds the
-    sublane axis in log2(wc) full-width VPU ops instead of a cm-iteration
-    loop of single-sublane updates. The point side replicates through one
-    bf16 0/1 matmul on the MXU (exact; fused with the center-bias add via a
-    concatenated [R1 | S] operand), the center side tiles by concatenation
-    (``pltpu.repeat``), and the radius test runs on the COMPACT (wc, cm)
-    grid via a window-centered f32 MXU dot — skipped tiles cost almost
-    nothing, and live tiles avoid the (P, 128) coordinate-replication
-    passes entirely.
+    Center-major keeps every per-tile stage on contiguous slices: the point
+    side replicates with a cheap tile (``pltpu.repeat`` has concat
+    semantics), the center side expands through a small (P, cm) kron matmul,
+    and the per-center segmented max reduces each center's contiguous wc
+    rows. A point-major variant with tree-fold reductions and MXU-based
+    replication measured ~30% SLOWER end to end on v5e (27.7 vs 20.9 ms at
+    SA1 scale, B=8) — the extra per-tile matmul launches cost more than the
+    fold savings — so this layout is the keeper. Winner export adds only
+    ~5%: the in-tile argmax runs per center (Mosaic has no sublane argmax
+    primitive), and the running accumulators update once per tile on the
+    batched (cm, C) results rather than per center on (1, C) slices.
     """
     n_layers = len(widths)
 
-    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, cent_ref,
-               r1sel_ref, *rest):
+    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
         param_refs = rest[:n_p]
         out_ref = rest[n_p]
@@ -158,74 +159,33 @@ def _make_kernel(
         a_win = a_buf.at[slot]
         xyz_win = xyz_buf.at[slot]
 
-        P = cm * wc
-        bc = bc_ref[0]  # (cm, C_pad) bf16
+        bc = bc_ref[0]  # (cm, C_pad)
         cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
-        cen_t = cent_ref[0]  # (128, cm): transposed centers, sublanes=coords
-        r1 = r1sel_ref[:, :wc]  # (P, wc) bf16: r1[p*cm + c, p] = 1
-        sel = r1sel_ref[:, wc:wc + cm]  # (P, cm) bf16: sel[p*cm + c, c] = 1
-        r1sel = r1sel_ref[:, :]  # (P, wc + cm): fused replicate-and-add
-
-        # Window-centered coordinates kill the |p|^2 - 2p.c + |c|^2
-        # cancellation (raw coords are O(5) m, the radius is 0.2 m): center
-        # on the block's first center so every term is O(window extent).
-        c0_row = cen[0:1, :]  # (1, 128)
-        c0_col = cen_t[:, 0:1]  # (128, 1)
-        xyz_c = xyz_win[:, :] - c0_row  # (W, 128); padding lanes stay 0
-        cen_tc = cen_t - c0_col  # (128, cm)
-        pmag = jnp.sum(xyz_c * xyz_c, axis=1, keepdims=True)  # (W, 1)
-        cmag = jnp.sum(cen_tc * cen_tc, axis=0, keepdims=True)  # (1, cm)
-
-        # point index p of pair row p*cm + c, kept as an f32 COLUMN: ranks
-        # are < 2^24 so the fold arithmetic is exact; f32 selects avoid a
-        # Mosaic crash (vector_extract_slice) on int32 tensors wider than
-        # one lane-vreg (c_out_pad = 256), and the (P, 1) column broadcasts
-        # to (rows, C) inside the first winner fold's where.
-        rows_pm = jnp.floor(
-            jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
-            * (1.0 / cm)
-        )
+        R2 = r1_ref[:, :]  # (P, cm) f32: R2[c*wc + p, c] = 1
+        bc_rep = jnp.dot(
+            R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
+        )  # (P, C_pad)
+        cen_rep = jnp.dot(
+            R2, cen, preferred_element_type=jnp.float32
+        )  # (P, 128)
 
         def tile_body(t):
-            # radius test on the COMPACT (wc, cm) grid: one small f32 MXU
-            # dot against the transposed centers — skipped tiles never touch
-            # the (P, C) pair grid at all.
-            xw_c = xyz_c[t * wc:(t + 1) * wc, :]  # (wc, 128) f32
-            dot = jax.lax.dot_general(
-                xw_c, cen_tc,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (wc, cm)
-            d2 = pmag[t * wc:(t + 1) * wc, :] - 2.0 * dot + cmag  # (wc, cm)
+            xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
+            p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile semantics
+            delta = p_xyz - cen_rep  # padding lanes are zero on both sides
+            d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
             in_radius = d2 <= r2
 
             @pl.when(jnp.any(in_radius))
             def _():
-                # replicate the 0/1 radius mask to pair rows: r1 spreads each
-                # point's center-row, sel picks the row's own center column
-                ir_pm = jnp.dot(
-                    r1, in_radius.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )  # (P, cm)
-                in_r = jnp.sum(
-                    ir_pm * sel.astype(jnp.float32), axis=1, keepdims=True
-                ) > 0.5  # (P, 1)
-
                 # A arrives PRE-NORMALIZED (layer 0's LN runs on the point
                 # grid outside); the last layer's LN+ReLU runs on the pooled
                 # centers outside. Only interior layers pay pair-grid LN —
                 # measured on v5e, each pair-grid LN costs as much as the
                 # whole tile's MXU matmuls.
-                # h0 = relu(A_p + b_c) via ONE bf16 matmul: [R1 | S] @
-                # [A_tile; b_c] replicates the point rows AND adds the
-                # center offsets in the f32 accumulator (0/1 weights: exact).
-                ab = jnp.concatenate(
-                    [a_win[pl.ds(t * wc, wc), :], bc], axis=0
-                )  # (wc + cm, C_pad) bf16
-                h0_pre = jnp.dot(
-                    r1sel, ab, preferred_element_type=jnp.float32
-                )  # (P, C_pad)
-                h = jnp.maximum(h0_pre, 0.0).astype(jnp.bfloat16)
+                awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
+                aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
+                h = jnp.maximum(aw_rep + bc_rep, 0.0).astype(jnp.bfloat16)
                 for li in range(1, n_layers):
                     w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
                     h_pre = (
@@ -242,29 +202,49 @@ def _make_kernel(
                     else:
                         h = h_pre  # last layer: pool the f32 pre-activation
 
-                masked = jnp.where(in_r, h.astype(jnp.float32), _NEG)
-                # point-major segmented max: rows j and j + h share a center
-                # whenever h is a multiple of cm, so log2(wc) sublane-half
-                # folds reduce (P, C) to the (cm, C) per-center maxes.
-                val = masked
-                if with_winners:
-                    idx = rows_pm + (win_start + t * wc).astype(jnp.float32)
-                    while val.shape[0] > cm:
-                        half = val.shape[0] // 2
-                        a, b2 = val[:half], val[half:]
-                        keep = a >= b2  # ties keep the lower point rank
-                        idx = jnp.where(keep, idx[:half], idx[half:])
-                        val = jnp.where(keep, a, b2)
-                    better = val > acc[:, :]  # strict: first tile wins ties
-                    acc_idx[:, :] = jnp.where(
-                        better, idx.astype(jnp.int32), acc_idx[:, :]
+                masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
+                # center-major segmented max: each center's wc contiguous
+                # rows reduce across sublanes; the running accumulators then
+                # update ONCE per tile on the stacked (cm, C) results
+                # (single-sublane (1, C) read-modify-writes were ~2x the
+                # cost of the segment reductions themselves).
+                seg_maxes = [
+                    jnp.max(
+                        masked[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
                     )
-                    acc[:, :] = jnp.where(better, val, acc[:, :])
+                    for c in range(cm)
+                ]
+                seg_max = jnp.concatenate(seg_maxes, axis=0)  # (cm, C)
+                if not with_winners:
+                    acc[:, :] = jnp.maximum(acc[:, :], seg_max)
                 else:
-                    while val.shape[0] > cm:
-                        half = val.shape[0] // 2
-                        val = jnp.maximum(val[:half], val[half:])
-                    acc[:, :] = jnp.maximum(acc[:, :], val)
+                    # winner export: per (center, channel) the GLOBAL rank
+                    # of the argmax point. In-tile argmax via masked
+                    # row-iota (no sublane argmax primitive); across tiles
+                    # strict > keeps the first-seen max like the running
+                    # fold.
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (wc, masked.shape[1]), 0
+                    )
+                    in_segs = [
+                        jnp.max(
+                            jnp.where(
+                                masked[c * wc:(c + 1) * wc, :]
+                                >= seg_maxes[c],
+                                rows,
+                                -1,
+                            ),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        for c in range(cm)
+                    ]
+                    in_seg = jnp.concatenate(in_segs, axis=0)  # (cm, C)
+                    better = seg_max > acc[:, :]
+                    acc_idx[:, :] = jnp.where(
+                        better, win_start + t * wc + in_seg, acc_idx[:, :]
+                    )
+                    acc[:, :] = jnp.where(better, seg_max, acc[:, :])
 
         # static (unrolled) loop: slice offsets must be compile-time aligned
         for t in range(W // wc):
@@ -492,15 +472,26 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
                     )
                 dh0 = jnp.where(h0_pre > 0, dh, 0.0)  # (P, c1_pad) f32
                 # fold pairs back: dA_p += sum_c dh0[c*wc + p];
-                # db_c += sum_p dh0[c*wc + p] — small exact f32 VPU reductions
-                da_tile = dh0[0:wc, :]
-                for c in range(1, cm):
-                    da_tile = da_tile + dh0[c * wc:(c + 1) * wc, :]
+                # db_c += sum_p dh0[c*wc + p] — small exact f32 VPU
+                # reductions. The dA fold tree-halves the sublane axis
+                # (rows j and j + P/2 share a point whenever the offset is
+                # a multiple of wc); dbc stacks the per-center sums and
+                # updates the ref ONCE per tile instead of cm times on
+                # single-sublane slices.
+                da_tile = dh0
+                while da_tile.shape[0] > wc:
+                    half = da_tile.shape[0] // 2
+                    da_tile = da_tile[:half] + da_tile[half:]
                 da_acc[pl.ds(t * wc, wc), :] += da_tile
-                for c in range(cm):
-                    dbc_ref[0, c:c + 1, :] += jnp.sum(
-                        dh0[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
-                    )
+                dbc_ref[0] += jnp.concatenate(
+                    [
+                        jnp.sum(
+                            dh0[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
+                        )
+                        for c in range(cm)
+                    ],
+                    axis=0,
+                )
 
         for t in range(W // wc):
             tile_body(t)
@@ -772,26 +763,12 @@ def sa_pair_pool_pallas(
     xyz_pad = _pad_lanes(xyz_sorted, _LANE).astype(jnp.float32)
     bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
     cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
-    # transposed center blocks (coords on sublanes) for the in-kernel
-    # radius dot: (B, n_blocks * 128, block)
-    cen_t = (
-        cen_pad.reshape(B, n_blocks, block, _LANE)
-        .transpose(0, 1, 3, 2)
-        .reshape(B, n_blocks * _LANE, block)
-    )
 
-    # fused 0/1 replication operand (point-major): [R1 | S] with
-    # R1[p*cm + c, p] = 1 (point replication) and S[p*cm + c, c] = 1
-    # (center selection). bf16 is exact for 0/1 weights.
-    R1SEL = jnp.asarray(
-        np.concatenate(
-            [
-                np.kron(np.eye(wc, dtype=np.float32), np.ones((block, 1), np.float32)),
-                np.kron(np.ones((wc, 1), np.float32), np.eye(block, dtype=np.float32)),
-            ],
-            axis=1,
-        )
-    ).astype(jnp.bfloat16)  # (block*wc, wc + block)
+    # 0/1 center-expansion matrix (center-major): R2[c*wc + p, c] = 1. f32 so
+    # replicated coordinates stay exact for the radius test.
+    R2 = jnp.asarray(
+        np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
+    )  # (block*wc, block)
 
     starts = (starts // 128) * 128
 
@@ -829,11 +806,7 @@ def sa_pair_pool_pallas(
                 (1, block, _LANE), lambda b, blk, starts: (b, blk, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, _LANE, block), lambda b, blk, starts: (b, blk, 0),
-                memory_space=pltpu.VMEM,
-            ),  # cen_t
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # R1SEL
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # R2
         ] + flat_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
@@ -842,12 +815,6 @@ def sa_pair_pool_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # the point-major tile pipeline keeps the centered window, the fold
-        # chain, and (with winners) the rank tensor live at once — past the
-        # 16M default scoped budget at SA1 sizes
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
         interpret=interpret,
     )(
         starts.reshape(-1).astype(jnp.int32),
@@ -855,8 +822,7 @@ def sa_pair_pool_pallas(
         xyz_pad,
         bc_pad,
         cen_pad,
-        cen_t,
-        R1SEL,
+        R2,
         *flat_params,
     )
     if with_winners:
