@@ -556,6 +556,12 @@ def fused_set_abstraction(
         cen_xyz = jnp.pad(cen_xyz, ((0, 0), (0, m_pad), (0, 0)), mode="edge")
 
     W = min(window, N)
+    if impl in ("pallas", "pallas_train") and W % min(128, W) != 0:
+        # the pair kernel tiles windows in wc-row slices; a window that is
+        # not a multiple of the tile (e.g. dense mode at N=50000) falls back
+        # to the XLA scan — dense windows are a coverage-measurement mode,
+        # not the production path
+        impl = "xla"
     statics = (radius, W, block, n_blocks, dense, compute_dtype)
     diff_params = (
         tuple(params.kernels[1:]),
