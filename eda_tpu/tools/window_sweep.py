@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument(
+        "--eval-on-train", action="store_true",
+        help="evaluate the TRAINING scenes (overfit probe, the reference's "
+        "--debug analog): isolates the window knob from generalization — "
+        "use when steps are too few to generalize to held-out scenes",
+    )
+    ap.add_argument(
         "--train-windows", default="default",
         help="'default', 'dense', or comma list, e.g. 1024,256,256,256",
     )
@@ -123,10 +129,13 @@ def main():
         if i % 25 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {_force(metrics['loss']):.3f}", file=sys.stderr)
 
-    eval_batches = [
-        make_batch(1000 + i * args.batch, 1000 + (i + 1) * args.batch)
-        for i in range(args.eval_batches)
-    ]
+    if args.eval_on_train:
+        eval_batches = batches[: args.eval_batches]
+    else:
+        eval_batches = [
+            make_batch(1000 + i * args.batch, 1000 + (i + 1) * args.batch)
+            for i in range(args.eval_batches)
+        ]
     frozen = {"params": state.params, "batch_stats": state.batch_stats}
 
     for spec in args.sweep:
