@@ -77,9 +77,14 @@ def main():
 
     base = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
     if args.dry:
-        args.steps = min(args.steps, 30)
-        args.batch = 2
-        args.sweep = ["dense", "128,64,64,64"]
+        # tiny config: the full-size model cannot reach meaningful overfit
+        # accuracy in a minutes-scale budget (DETR-family convergence), so
+        # the accuracy-vs-window TREND is measured here at tiny scale with
+        # proportionally scaled windows; full-size runs still report
+        # coverage + throughput per setting.
+        if args.sweep == ap.get_default("sweep"):
+            args.sweep = ["dense", "256,128,64,64", "128,64,64,64",
+                          "64,64,64,64"]
     gen = SyntheticScenes(
         SyntheticConfig(
             num_points=base.num_points,
@@ -100,6 +105,11 @@ def main():
         train_cfg = dataclasses.replace(
             base, sa_windows=parse_windows(args.train_windows, base)
         )
+    if args.eval_on_train:
+        # overfit probe: dropout noise roughly halves the memorization rate
+        # (measured on the tiny config); the knob under test is the window,
+        # not regularization
+        train_cfg = dataclasses.replace(train_cfg, dropout=0.0)
     model = EDAGrounder(train_cfg)
     batch0 = make_batch(0, args.batch)
     variables = jax.jit(
@@ -112,7 +122,10 @@ def main():
         num_decoder_layers=train_cfg.num_decoder_layers, dataset="scanrefer"
     )
     tx = make_optimizer(
-        TrainConfig(lr=1e-3, lr_backbone=1e-3, clip_norm=1.0),
+        # cosine over exactly the probe's step budget: the overfit probes
+        # oscillate near convergence at constant lr (matcher churn)
+        TrainConfig(lr=2e-3, lr_backbone=2e-3, clip_norm=1.0,
+                    lr_scheduler="cosine", max_epoch=1),
         variables["params"],
         steps_per_epoch=max(args.steps, 1),
     )
