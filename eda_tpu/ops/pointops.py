@@ -242,8 +242,26 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, k: int = 3):
         Note the CUDA kernel also returns *squared* distances.
     """
     d2 = _sq_dist(unknown, known)  # (B, n, m)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return -neg, idx.astype(jnp.int32)
+    # iterative k-fold argmin instead of lax.top_k: XLA lowers small-k top_k
+    # on TPU to a full sort of the m axis (~3 ms/step across the FP layers);
+    # k passes of min+mask are exact, deterministic (first index wins ties,
+    # like the CUDA insertion sort in interpolate_gpu.cu:34-57), and cheap.
+    m = d2.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    dists, idxs = [], []
+    cur = d2
+    for _ in range(k):
+        dmin = jnp.min(cur, axis=-1, keepdims=True)  # (B, n, 1)
+        imin = jnp.min(
+            jnp.where(cur <= dmin, cols, m), axis=-1, keepdims=True
+        )
+        dists.append(dmin)
+        idxs.append(imin)
+        cur = jnp.where(cols == imin, jnp.inf, cur)
+    return (
+        jnp.concatenate(dists, axis=-1),
+        jnp.concatenate(idxs, axis=-1).astype(jnp.int32),
+    )
 
 
 def three_interpolate(
