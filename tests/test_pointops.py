@@ -145,6 +145,21 @@ def test_three_nn_matches_bruteforce(rng):
         assert (np.diff(d2[b], axis=-1) >= -1e-6).all()
 
 
+def test_three_nn_tie_takes_first_index():
+    """Exact-duplicate source points: the iterative argmin keeps the LOWEST
+    index among ties, like the CUDA insertion sort's strict < comparisons
+    (interpolate_gpu.cu:34-57)."""
+    unknown = jnp.zeros((1, 1, 3), jnp.float32)
+    # known[1] == known[3] (both distance 0), known[0] and known[2] further
+    known = jnp.asarray(
+        [[[1.0, 0, 0], [0, 0, 0], [2.0, 0, 0], [0, 0, 0], [3.0, 0, 0]]],
+        jnp.float32,
+    )
+    d2, idx = P.three_nn(unknown, known)
+    assert idx[0, 0].tolist() == [1, 3, 0]
+    np.testing.assert_allclose(np.asarray(d2[0, 0]), [0.0, 0.0, 1.0])
+
+
 def test_three_interpolate(rng):
     feats = rng.normal(size=(1, 5, 4)).astype(np.float32)
     idx = np.array([[[0, 1, 2], [3, 4, 0]]], np.int32)
