@@ -289,3 +289,31 @@ def test_pallas_train_impl_full_integration(interpret_bwd):
             a, b = np.asarray(a), np.asarray(b)
             denom = np.abs(a).max() + 1e-6
             assert np.abs(a - b).max() / denom < 0.15
+
+
+def test_pallas_train_impl_block8(interpret_bwd):
+    """pb=8 path (m_total % 16 != 0): the batched accumulator updates, dA
+    tree fold, and winner folds must hold at the small block size too —
+    gradients track the XLA scan. Dense windows: the pallas path quantizes
+    window starts to 128-multiples while the scan does not, so windowed
+    layers pool (slightly) different pair sets and only dense mode admits
+    an exact cross-implementation comparison."""
+    xyz, feats, cidx, params = _setup(seed=7, N=512, M=56)
+    kw = dict(radius=0.4, window=xyz.shape[1], block=8, presorted=True)
+    G = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 56, 16)).astype(np.float32)
+    )
+
+    def loss(p, impl):
+        out = fused_set_abstraction(
+            xyz, feats, cidx, p, impl=impl, compute_dtype=jnp.bfloat16, **kw
+        )
+        return jnp.sum(out * G)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_new = jax.grad(lambda p: loss(p, "pallas_train"))(params)
+    for name in ("kernels", "biases", "ln_scales", "ln_biases"):
+        for a, b in zip(getattr(g_ref, name), getattr(g_new, name)):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = np.abs(a).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 0.15, name
