@@ -123,7 +123,7 @@ def _make_kernel(
         def issue(cell_idx, dst_slot):
             """Start the window DMAs for linear grid cell ``cell_idx``."""
             src_b = cell_idx // n_blocks
-            start = pl.multiple_of(starts_ref[cell_idx], 128)
+            start = pl.multiple_of(starts_ref[cell_idx], 16)
             pltpu.make_async_copy(
                 a_hbm.at[src_b, pl.ds(start, W), :],
                 a_buf.at[dst_slot],
@@ -149,7 +149,7 @@ def _make_kernel(
         acc[:, :] = jnp.full_like(acc[:, :], _NEG)
         if with_winners:
             acc_idx[:, :] = jnp.zeros_like(acc_idx[:, :])
-        win_start = pl.multiple_of(starts_ref[cell], 128)
+        win_start = pl.multiple_of(starts_ref[cell], 16)
         pltpu.make_async_copy(
             a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
         ).wait()
@@ -327,7 +327,7 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
 
         def issue(cell_idx, dst_slot):
             src_b = cell_idx // n_blocks
-            start = pl.multiple_of(starts_ref[cell_idx], 128)
+            start = pl.multiple_of(starts_ref[cell_idx], 16)
             pltpu.make_async_copy(
                 a_hbm.at[src_b, pl.ds(start, W), :],
                 a_buf.at[dst_slot],
@@ -350,7 +350,7 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
 
         da_acc[:, :] = jnp.zeros_like(da_acc[:, :])
         dbc_ref[0] = jnp.zeros_like(dbc_ref[0])
-        win_start = pl.multiple_of(starts_ref[cell], 128)
+        win_start = pl.multiple_of(starts_ref[cell], 16)
         pltpu.make_async_copy(
             a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
         ).wait()
@@ -539,7 +539,7 @@ def sa_pair_pool_bwd_pallas(
         winners: (B, M, c_out) int32 winning global rank per (center, channel)
             from the forward's ``with_winners`` export.
         starts: (B, M // block) int32 window starts (same values the forward
-            used; re-quantized to 128 internally).
+            used; re-quantized to 16 internally).
         layer_params: as the forward — layer 0's slots are plumbing only.
 
     Returns:
@@ -588,7 +588,7 @@ def sa_pair_pool_bwd_pallas(
     R2 = jnp.asarray(
         np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
     )
-    starts = (starts // 128) * 128
+    starts = (starts // 16) * 16
     da_init = jnp.zeros((B, N, c1_pad), jnp.float32)
 
     blk_map = lambda b, blk, starts: (b, blk, 0)  # noqa: E731
@@ -713,7 +713,9 @@ def sa_pair_pool_pallas(
         b_c: (B, M, c1) per-center offsets (centers in rank order).
         cen_xyz: (B, M, 3) f32 center coordinates (rank order).
         starts: (B, M // block) int32 window starts; quantized down to
-            multiples of 128 internally for DMA alignment.
+            multiples of 16 (the sublane tile: bf16 packs (16, 128)) for
+            DMA alignment — 128 was overly conservative and mis-centered
+            short windows (W=64 shifts by up to 127).
         layer_params: per layer (kernel, bias, ln_scale, ln_bias). Layer 0's
             kernel/bias are folded into A/b_c by the caller and its LN runs
             on the point grid outside (A arrives pre-normalized); the LAST
@@ -770,7 +772,7 @@ def sa_pair_pool_pallas(
         np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
     )  # (block*wc, block)
 
-    starts = (starts // 128) * 128
+    starts = (starts // 16) * 16
 
     kernel = _make_kernel(
         widths, window, wc, block, radius * radius, with_winners=with_winners
