@@ -265,7 +265,8 @@ def _winner_pool(statics):
 
 def _pallas_starts(ranks_f, statics, N):
     """Window starts exactly as the Pallas primal derives them (pb-blocked,
-    midpoint-centered, clipped; the kernel re-quantizes to 128)."""
+    midpoint-centered, clipped; the fwd and bwd kernels re-quantize to 16,
+    the bf16 sublane tile — see commit 6698280)."""
     radius, W, block, n_blocks, dense, compute_dtype = statics
     ranks = ranks_f.astype(jnp.int32)
     B = ranks_f.shape[0]
@@ -630,7 +631,10 @@ def fused_set_abstraction(
     # is no larger than before. Same ops, same dtypes — values match the
     # A-gather formulation to bf16 rounding.
     self_idx = jnp.clip(ranks[:, :M], 0, N - 1)
-    ranks_sorted = presorted or not dense or return_rank_order
+    # ranks went through lax.sort in every branch above EXCEPT dense without
+    # return_rank_order, where ranks = center_idx verbatim (arbitrary FPS
+    # order) — promising sortedness there would be an XLA contract violation.
+    ranks_sorted = not (dense and not return_rank_order)
     gath = lambda x: jax.vmap(  # noqa: E731
         lambda a, r: a.at[r].get(
             mode="promise_in_bounds", unique_indices=True,

@@ -247,6 +247,10 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, k: int = 3):
     # k passes of min+mask are exact, deterministic (first index wins ties,
     # like the CUDA insertion sort in interpolate_gpu.cu:34-57), and cheap.
     m = d2.shape[-1]
+    # with m < k the mask pass would exhaust the columns and the argmin
+    # degenerates to (inf, 0) silently; the reference CUDA kernel likewise
+    # assumes m >= k (interpolate_gpu.cu:14-60) — fail at trace time instead.
+    assert m >= k, f"three-NN needs at least k={k} known points, got m={m}"
     cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
     dists, idxs = [], []
     cur = d2

@@ -67,7 +67,7 @@ def tp_param_spec(path) -> P:
     keys = [getattr(k, "key", str(k)) for k in path]
     name = keys[-1]
     joined = "/".join(keys)
-    if "MultiHeadDotProductAttention" in joined or "/attention/" in joined + "/":
+    if "MultiHeadDotProductAttention" in joined or "attention" in keys:
         proj = keys[-2]
         if proj in ("query", "key", "value"):
             return P(None, "model", None) if name == "kernel" else P("model", None)
