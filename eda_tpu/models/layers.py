@@ -149,7 +149,13 @@ class BiEncoderLayer(nn.Module):
                 text_feats, text_feats, text_feats, text_valid, train=train
             )
 
-        # Cross block. Language attends to vision, then FFN.
+        # Cross block. BOTH directions read the other modality's PRE-cross
+        # features: the reference captures qv/kv/vv and qt/kt/vt at
+        # CrossAttentionLayer entry (encoder_decoder_layers.py:78-84), so
+        # vision attends to the language features from BEFORE the lang->vis
+        # update — not the ffn_lv output. (Caught by the differential parity
+        # test against the actual reference module.)
+        text_kv = text_feats
         text_feats = ResidualAttn(d, h, p, dt, name="cross_lv")(
             text_feats, vis_feats, vis_feats, vis_valid, train=train
         )
@@ -158,7 +164,7 @@ class BiEncoderLayer(nn.Module):
         )
         # Vision attends to language (query gets pos embedding).
         vis_feats = ResidualAttn(d, h, p, dt, name="cross_vl")(
-            vis_feats, text_feats, text_feats, text_valid, train=train, q_pos=pos_feats
+            vis_feats, text_kv, text_kv, text_valid, train=train, q_pos=pos_feats
         )
         # Optional detected-box stream (butd).
         if self.use_butd_enc_attn and detected_feats is not None:
