@@ -13,10 +13,16 @@ stack's A100 inference throughput: BUTD-DETR-class models at batch 12 run a
 forward in roughly 0.3 s on A100-class hardware (~40 scenes/sec); the
 BASELINE.json target is >= 3x that per chip.
 
+Both the forward (serving) and train-step throughputs are measured by
+default — the reference's own recipe is a *training* workload
+(``/root/reference/scripts/train_scanrefer.sh``) — and each prints its own
+JSON line; the forward (headline) line prints last. ``--no-train`` skips the
+train measurement (it adds a long backward compile).
+
 Usage:
     python bench.py            # full-size model on the default backend (TPU)
     python bench.py --dry      # tiny config smoke run (CPU-friendly)
-    python bench.py --train    # also report train-step throughput to stderr
+    python bench.py --no-train # forward only
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ from eda_tpu.losses.criterion import SetCriterionConfig
 from eda_tpu.models import EDAGrounder
 
 A100_BASELINE_SCENES_PER_SEC = 40.0
+# Train-step estimate for the reference stack on A100: BUTD-DETR-class models
+# at batch 12 take ~0.8 s/step on A100-class hardware including the 14
+# scipy-on-host Hungarian round-trips (SURVEY.md §3.1) -> ~15 scenes/sec.
+A100_TRAIN_BASELINE_SCENES_PER_SEC = 15.0
 
 
 def build(cfg: ModelConfig, batch_size: int, text_len: int):
@@ -143,7 +153,11 @@ def bench_train(
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dry", action="store_true", help="tiny smoke config")
-    parser.add_argument("--train", action="store_true", help="also bench train step")
+    parser.add_argument(
+        "--no-train", action="store_true", help="skip the train-step bench"
+    )
+    # kept for compatibility with round-2 docs; train now runs by default
+    parser.add_argument("--train", action="store_true", help=argparse.SUPPRESS)
     # serving throughput keeps rising slightly to batch 32 on v5e (the
     # serial FPS steps amortize across the batch): 141 vs 136 scenes/sec
     parser.add_argument("--batch", type=int, default=32)
@@ -162,10 +176,24 @@ def main():
     scenes_per_sec = bench_forward(model, variables, batch, iters=args.iters)
     print(f"forward: {scenes_per_sec:.2f} scenes/sec", file=sys.stderr)
 
-    if args.train:
+    if not args.no_train:
         tps = bench_train(model, variables, batch, cfg, iters=max(2, args.iters // 2))
         print(f"train: {tps:.2f} scenes/sec", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "grounding_train_throughput",
+                    "value": round(tps, 3),
+                    "unit": "scenes/sec/chip",
+                    "vs_baseline": round(
+                        tps / A100_TRAIN_BASELINE_SCENES_PER_SEC, 3
+                    ),
+                }
+            )
+        )
 
+    # headline (forward) line prints LAST so a last-JSON-line parser keeps
+    # reading the same metric as previous rounds
     print(
         json.dumps(
             {
