@@ -69,8 +69,15 @@ def evaluate_detection_batch(
     token_batch: TokenBatch,
     caption: str,
     prefix: str = "last_",
+    valid: np.ndarray = None,
 ):
-    """Accumulate one batch into the APCalculator."""
+    """Accumulate one batch into the APCalculator.
+
+    ``valid`` (B,) bool marks real rows; padded tail rows (the jit batch is
+    fixed-size, the val split usually isn't a multiple of it) are dropped
+    before scoring, matching the reference's full-split iteration
+    (``train_dist_mod.py:202-327``).
+    """
     sem = np.asarray(end_points[f"{prefix}sem_cls_scores"])
     spans = class_token_spans(token_batch, 0, caption)
     cls_probs, obj = project_soft_tokens(sem, spans)
@@ -87,4 +94,7 @@ def evaluate_detection_batch(
     gts = parse_groundtruths(
         gt_boxes, gt_classes, np.asarray(targets["box_label_mask"]) > 0
     )
+    if valid is not None:
+        preds = [p for p, v in zip(preds, valid) if v]
+        gts = [g for g, v in zip(gts, valid) if v]
     calc.step(preds, gts)

@@ -72,3 +72,73 @@ def test_mixed_dataset_multipliers(rng):
     assert len(mixed) == 11
     batch = mixed.batch([0, 5, 10])
     assert batch["inputs"]["point_clouds"].shape[0] == 3
+
+
+def test_tail_chunks_cover_everything():
+    """Eval chunking covers the full split with a masked padded tail
+    (reference scores every val scan, train_dist_mod.py:202-327)."""
+    import train
+
+    for n, bsz in ((7, 3), (6, 3), (1, 4), (9, 4)):
+        pairs = train.tail_chunks(n, bsz)
+        seen = []
+        for idx, valid in pairs:
+            assert idx.shape == (bsz,) and valid.shape == (bsz,)
+            seen.extend(idx[valid].tolist())
+            assert (idx[~valid] == 0).all()
+        assert seen == list(range(n))
+
+
+def test_det_eval_scan_mapping(rng):
+    """ds.batch(idx) row i is scan ds.scan_ids[idx[i]] — the gt_classes
+    reconstruction in train.evaluate_detection depends on this."""
+    scans = {
+        f"scene{k}": FakeScan(rng, objects=(("chair", 200 + 50 * k),))
+        for k in range(3)
+    }
+    ds = DetectionPromptDataset(scans, split="val", augment=False, vocab_size=512)
+    order = [2, 0, 1]
+    batch = ds.batch(order)
+    for row, idx in enumerate(order):
+        ex = ds.example(idx)
+        np.testing.assert_array_equal(
+            batch["inputs"]["point_clouds"][row], ex["inputs"]["point_clouds"]
+        )
+        np.testing.assert_array_equal(
+            batch["targets"]["center_label"][row], ex["targets"]["center_label"]
+        )
+
+
+def test_det_eval_valid_mask_drops_padded_rows(rng):
+    """evaluate_detection_batch(valid=...) scores only real rows."""
+    from eda_tpu.eval.det_branch import evaluate_detection_batch
+    from eda_tpu.eval.detection import APCalculator
+    from eda_tpu.data.dataset import MAX_NUM_OBJ
+
+    scans = {"scene0": FakeScan(rng)}
+    ds = DetectionPromptDataset(scans, split="val", augment=False, vocab_size=512)
+    batch = ds.batch([0, 0])
+    caption = batch["utterances"][0] if "utterances" in batch else None
+    from eda_tpu.data.detection_prompt import PROMPT_NAMES
+
+    caption = " . ".join(PROMPT_NAMES) + " . not mentioned"
+    tok = ds.tokenizer.encode_batch([caption], max_len=ds.text_len)
+    B, Q, C = 2, 8, 256
+    end_points = {
+        "last_center": rng.normal(size=(B, Q, 3)).astype(np.float32),
+        "last_pred_size": rng.uniform(0.2, 1.0, (B, Q, 3)).astype(np.float32),
+        "last_sem_cls_scores": rng.normal(size=(B, Q, C)).astype(np.float32),
+    }
+    gt_classes = np.zeros((B, MAX_NUM_OBJ), np.int64)
+
+    calc_all = APCalculator(iou_thresh=0.25)
+    evaluate_detection_batch(
+        calc_all, end_points, batch["targets"], gt_classes, tok, caption
+    )
+    calc_masked = APCalculator(iou_thresh=0.25)
+    evaluate_detection_batch(
+        calc_masked, end_points, batch["targets"], gt_classes, tok, caption,
+        valid=np.array([True, False]),
+    )
+    assert len(calc_all._gt) == 2
+    assert len(calc_masked._gt) == 1

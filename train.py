@@ -411,6 +411,25 @@ def main(argv=None):
 _EVAL_CACHE = {}
 
 
+def tail_chunks(n: int, bsz: int):
+    """Fixed-size index chunks covering [0, n) with a padded+masked tail.
+
+    Returns a list of (idx (bsz,), valid (bsz,) bool); padding rows reuse
+    index 0 and are masked False. Both eval paths use this so no split ever
+    silently drops its tail (reference scores every val scan,
+    ``train_dist_mod.py:202-327``).
+    """
+    chunks = []
+    for start in range(0, n, bsz):
+        idx = np.arange(start, min(start + bsz, n))
+        valid = np.ones(bsz, bool)
+        if len(idx) < bsz:
+            valid[len(idx):] = False
+            idx = np.concatenate([idx, np.zeros(bsz - len(idx), np.int64)])
+        chunks.append((idx, valid))
+    return chunks
+
+
 def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
     """Full-split grounding evaluation (reference evaluate_one_epoch,
     train_dist_mod.py:129-199 + main_utils.py:529-565).
@@ -442,15 +461,9 @@ def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
         filter_non_gt_boxes=args.butd_cls,
     )
     bsz = max(args.batch_size, 1)
-    chunks, valids = [], []
-    for start in range(0, n_val, bsz):
-        idx = np.arange(start, min(start + bsz, n_val))
-        valid = np.ones(bsz, bool)
-        if len(idx) < bsz:  # pad the tail batch; mask padded rows
-            valid[len(idx):] = False
-            idx = np.concatenate([idx, np.zeros(bsz - len(idx), np.int64)])
-        chunks.append(idx)
-        valids.append(valid)
+    pairs = tail_chunks(n_val, bsz)
+    chunks = [idx for idx, _ in pairs]
+    valids = [valid for _, valid in pairs]
     for batch_np, valid in zip(
         prefetch_batches(gen, chunks, model_cfg.butd, args.num_workers), valids
     ):
@@ -503,14 +516,17 @@ def evaluate_detection(args, model, state, model_cfg, logger):
 
     caption = " . ".join(PROMPT_NAMES) + " . not mentioned"
     tok = ds.tokenizer.encode_batch([caption], max_len=ds.text_len)
-    for start in range(0, len(ds) - bsz + 1, bsz):
-        batch_np = ds.batch(range(start, start + bsz), butd=model_cfg.butd)
+    # full split, pad+mask the tail batch exactly like the grounding path
+    # (the reference scores every val scan, train_dist_mod.py:202-327)
+    for idx, valid in tail_chunks(len(ds), bsz):
+        batch_np = ds.batch(idx, butd=model_cfg.butd)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         end_points, _ = eval_fn(state.params, state.batch_stats, batch)
-        # recover per-sample gt classes from the scans
+        # recover per-sample gt classes from the scans; ds.batch(idx) row i
+        # is scan ds.scan_ids[idx[i]] (pinned by test_det_eval_scan_mapping)
         gt_classes = np.zeros((bsz, MAX_NUM_OBJ), np.int64)
         for i in range(bsz):
-            scan = ds.scans[ds.scan_ids[(start + i) % len(ds.scan_ids)]]
+            scan = ds.scans[ds.scan_ids[int(idx[i]) % len(ds.scan_ids)]]
             classes = [
                 instance_label_to_class18(o["instance_label"])
                 for o in scan.three_d_objects
@@ -518,7 +534,8 @@ def evaluate_detection(args, model, state, model_cfg, logger):
             keep = [c for c in classes if c < 18][:MAX_NUM_OBJ]
             gt_classes[i, : len(keep)] = keep
         evaluate_detection_batch(
-            calc, end_points, batch_np["targets"], gt_classes, tok, caption
+            calc, end_points, batch_np["targets"], gt_classes, tok, caption,
+            valid=valid,
         )
     metrics = calc.compute_metrics()
     logger.info("detection mAP@0.25: %.4f", metrics["mAP"])
