@@ -39,12 +39,15 @@ class MatchResult(NamedTuple):
     query_matched: (B, Q) bool — True for queries that own a real target.
     query_target: (B, Q) int32 — the target owned by each query (garbage
         where ``query_matched`` is False).
+    iters: () int32 — auction rounds used (diagnostic; None when the result
+        was constructed by hand).
     """
 
     match_q: jnp.ndarray
     target_valid: jnp.ndarray
     query_matched: jnp.ndarray
     query_target: jnp.ndarray
+    iters: jnp.ndarray = None
 
 
 def _auction_assign(
@@ -105,7 +108,9 @@ def _auction_assign(
 
     owner0 = jnp.full((B, Q), -1, jnp.int32)
     prices0 = jnp.zeros((B, Q), jnp.float32)
-    owner, _, _ = jax.lax.while_loop(cond, body, (owner0, prices0, jnp.int32(0)))
+    owner, _, iters = jax.lax.while_loop(
+        cond, body, (owner0, prices0, jnp.int32(0))
+    )
 
     # owner[b, q] = target or -1. Derive per-target query index.
     own_onehot = (
@@ -122,6 +127,7 @@ def _auction_assign(
         target_valid=target_valid,
         query_matched=query_matched,
         query_target=jnp.clip(owner, 0, G - 1),
+        iters=iters,
     )
 
 

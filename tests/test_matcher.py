@@ -104,3 +104,30 @@ def test_auction_iteration_cap_returns():
     qt = np.asarray(res.query_target)
     # every matched query points at a valid target index
     assert ((qt >= 0) & (qt < 8))[qm].all()
+
+
+def test_auction_detection_scale_g132(rng):
+    """--joint_det scale: G=132 dense targets, Q=256 queries (VERDICT round-2
+    weak #3). The auction must stay within its documented G*eps suboptimality
+    of scipy's optimum AND converge well under the 512-round cap on costs
+    with the real construction's scale (soft-token in [-1,0], 2*giou in
+    [-2,2])."""
+    B, Q, G = 2, 256, 132
+    # realistic cost mix: -prob@map in [-1, 0], giou part in [-2, 2]
+    soft = -rng.dirichlet(np.ones(G), size=(B, Q)).astype(np.float32)
+    giou = rng.uniform(-1, 1, size=(B, Q, G)).astype(np.float32) * -2.0
+    cost = soft + giou
+    valid = np.ones((B, G), bool)
+    valid[1, 100:] = False
+
+    match = auction_assign(jnp.asarray(cost), jnp.asarray(valid))
+    got_cost = 0.0
+    for b in range(B):
+        qs = np.asarray(match.match_q[b])[valid[b]]
+        assert len(set(qs.tolist())) == valid[b].sum()  # one-to-one
+        got_cost += cost[b, qs, np.where(valid[b])[0]].sum()
+
+    want_cost, _ = solve_np(cost, valid)
+    assert got_cost <= want_cost + G * 1e-4 + 1e-5
+    iters = int(match.iters)
+    assert iters < 512 // 2, f"auction used {iters} rounds; cap is 512"
