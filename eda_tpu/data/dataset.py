@@ -113,6 +113,22 @@ class GroundingDataset:
         # (ref bdetr.py:76-78); hash tokenizer otherwise
         tok_path = osp.join(args.data_root, "roberta-base")
         tokenizer = make_tokenizer(tok_path if osp.isdir(tok_path) else None)
+        from eda_tpu.models.tokenizer import SimpleTokenizer
+
+        if isinstance(tokenizer, SimpleTokenizer):
+            # hash ids silently alias words — fine for from-scratch synthetic
+            # runs, never for the accuracy-parity protocol (the reference's
+            # token ids feed the positive maps, joint_det_dataset.py:1150-1177)
+            msg = (
+                "real dataset %s resolved to the hash-id SimpleTokenizer "
+                "(no usable %s); token ids will NOT match the reference's "
+                "RoBERTa vocabulary" % (args.dataset, tok_path)
+            )
+            if getattr(args, "eval", False):
+                raise RuntimeError(msg + " — refusing in --eval parity mode")
+            import logging
+
+            logging.getLogger("eda_tpu").warning(msg)
         return cls(
             scans,
             annos,

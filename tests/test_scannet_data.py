@@ -250,3 +250,67 @@ def test_detected_boxes_follow_augmentation(fake_scan_dir, tmp_path):
     assert (np.abs(chair_xyz - det[:3]) <= det[3:] / 2 + 1e-2).all()
     # and it must NOT equal the unaugmented original
     assert not np.allclose(det, chair_box, atol=1e-3)
+
+
+def _scanrefer_root(fake_scan_dir, tmp_path):
+    """Minimal real-data root: packed val scans + one ScanRefer annotation."""
+    scan_dir, scan_id = fake_scan_dir
+    root = tmp_path / "data_root"
+    root.mkdir()
+    pack_scans([scan_id], scan_dir, str(root / "val_v3scans.pkl"), processes=1)
+    sr = root / "ScanRefer"
+    sr.mkdir()
+    (sr / "ScanRefer_filtered_val.txt").write_text(scan_id + "\n")
+    with open(sr / "ScanRefer_filtered_val.json", "w") as f:
+        json.dump(
+            [
+                {
+                    "scene_id": scan_id,
+                    "object_id": "0",
+                    "object_name": "chair",
+                    "ann_id": "0",
+                    "description": "the chair next to the table",
+                    "token": [],
+                }
+            ],
+            f,
+        )
+    return root
+
+
+def _args(root, eval_mode):
+    import argparse
+
+    return argparse.Namespace(
+        data_root=str(root),
+        dataset=["scanrefer"],
+        debug=True,
+        use_color=True,
+        augment=False,
+        detect_intermediate=False,
+        butd=False,
+        butd_gt=False,
+        butd_cls=False,
+        wo_obj_name=None,
+        eval=eval_mode,
+    )
+
+
+def test_tokenizer_fallback_warns_on_real_data(fake_scan_dir, tmp_path, caplog):
+    """A real dataset resolving to the hash-id SimpleTokenizer must warn
+    loudly (VERDICT round-2 weak #5): hash ids silently alias words."""
+    root = _scanrefer_root(fake_scan_dir, tmp_path)
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="eda_tpu"):
+        ds = GroundingDataset.from_args(_args(root, eval_mode=False), "val")
+    assert any("SimpleTokenizer" in r.message for r in caplog.records)
+    assert len(ds) == 1
+
+
+def test_tokenizer_fallback_refuses_in_eval_mode(fake_scan_dir, tmp_path):
+    """--eval (the accuracy-parity protocol) refuses to run on hash token
+    ids — they cannot match the reference's RoBERTa vocabulary."""
+    root = _scanrefer_root(fake_scan_dir, tmp_path)
+    with pytest.raises(RuntimeError, match="SimpleTokenizer"):
+        GroundingDataset.from_args(_args(root, eval_mode=True), "val")
