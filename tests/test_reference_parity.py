@@ -528,3 +528,145 @@ def test_bi_decoder_layer_forward_parity(ref_edl):
     np.testing.assert_allclose(
         np.asarray(ours), ref_out.numpy(), rtol=2e-5, atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# GroundingEvaluator parity
+# ---------------------------------------------------------------------------
+
+EB, EQ, EG, EL, ED = 4, 20, 5, 24, 6  # batch, queries, gt slots, tokens, det
+
+
+@pytest.fixture(scope="module")
+def ref_grounding_evaluator(ref_losses):
+    """Load src/grounding_evaluator.py with its package imports stubbed to
+    the standalone-loaded reference modules (models.losses, utils.misc)."""
+    import types
+
+    models_pkg = types.ModuleType("models")
+    models_pkg.__path__ = []
+    models_pkg.losses = ref_losses
+    sys.modules.setdefault("models", models_pkg)
+    sys.modules["models.losses"] = ref_losses
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = []
+    sys.modules.setdefault("utils", utils_pkg)
+    misc = _load("utils.misc", f"{REF}/utils/misc.py")
+    utils_pkg.misc = misc
+    return _load("_ref_grounding_eval", f"{REF}/src/grounding_evaluator.py")
+
+
+def _fabricate_eval(seed=0, butd_cls=False):
+    """``butd_cls`` keeps the fabricated batch out of the tie regime: the
+    filter zeroes non-overlapping queries' scores EXACTLY, and how torch
+    argsort vs jax top_k order tied zeros is implementation-defined. Detected
+    boxes therefore cover >= 12 predictions verbatim (top-10 never reaches
+    the zeros) and the negative 'other' component is emptied so surviving
+    scores stay strictly positive."""
+    rng = np.random.default_rng(seed)
+    d = {}
+    for p in ("last_", "proposal_"):
+        d[f"{p}center"] = rng.normal(size=(EB, EQ, 3)).astype(np.float32)
+        d[f"{p}pred_size"] = rng.uniform(0.3, 1.8, (EB, EQ, 3)).astype(
+            np.float32
+        )
+        d[f"{p}sem_cls_scores"] = rng.normal(size=(EB, EQ, 256)).astype(
+            np.float32
+        )
+        pq = rng.normal(size=(EB, EQ, 64)).astype(np.float32)
+        d[f"{p}proj_queries"] = pq / np.linalg.norm(pq, axis=-1, keepdims=True)
+    pt = rng.normal(size=(EB, EL, 64)).astype(np.float32)
+    d["proj_tokens"] = pt / np.linalg.norm(pt, axis=-1, keepdims=True)
+    # GT: make boxes near some predictions so hits occur at both thresholds
+    d["center_label"] = d["last_center"][:, :EG] + rng.normal(
+        scale=0.15, size=(EB, EG, 3)
+    ).astype(np.float32)
+    d["size_gts"] = d["last_pred_size"][:, :EG] * rng.uniform(
+        0.8, 1.25, (EB, EG, 3)
+    ).astype(np.float32)
+    mask = np.zeros((EB, EG), np.float32)
+    for b in range(EB):
+        mask[b, : 1 + b % 3] = 1.0
+    d["box_label_mask"] = mask
+    for key, allow_empty in (
+        ("positive_map", False),
+        ("modify_positive_map", True),
+        ("pron_positive_map", True),
+        ("other_entity_map", True),
+        ("rel_positive_map", True),
+        ("auxi_entity_positive_map", True),
+    ):
+        m = np.stack([_soft_map(rng, EG, EL, 4, allow_empty) for _ in range(EB)])
+        if butd_cls and key == "other_entity_map":
+            m = np.zeros_like(m)
+        d[key] = np.pad(m, ((0, 0), (0, 0), (0, 256 - EL)))
+    d["is_view_dep"] = rng.random(EB) < 0.5
+    d["is_hard"] = rng.random(EB) < 0.5
+    d["is_unique"] = rng.random(EB) < 0.5
+    # detected boxes for the butd_cls filter
+    nd = 12 if butd_cls else ED
+    d["all_detected_boxes"] = np.concatenate(
+        [
+            d["last_center"][:, :nd]
+            if butd_cls
+            else d["last_center"][:, :nd] + rng.normal(
+                scale=0.2, size=(EB, nd, 3)
+            ).astype(np.float32),
+            d["last_pred_size"][:, :nd],
+        ],
+        -1,
+    )
+    det_mask = np.ones((EB, nd), bool)
+    if not butd_cls:
+        det_mask[0, 3:] = False
+    d["all_detected_bbox_label_mask"] = det_mask
+    return d
+
+
+@pytest.mark.parametrize("butd_cls", [False, True])
+def test_grounding_evaluator_parity(ref_grounding_evaluator, butd_cls):
+    """Every (prefix, threshold, topk, mode) counter and hardness-breakdown
+    counter matches the reference GroundingEvaluator
+    (src/grounding_evaluator.py:135-373) on identical fabricated inputs."""
+    from eda_tpu.eval import GroundingEvaluator
+
+    # butd_cls: detected boxes are tie-free only vs the last_ predictions
+    # (see _fabricate_eval), so the filtered variant scores last_ only
+    prefixes = ("last_",) if butd_cls else ("last_", "proposal_")
+    d = _fabricate_eval(seed=4 + butd_cls, butd_cls=butd_cls)
+    ep_t = {k: torch.from_numpy(np.asarray(v)) for k, v in d.items()}
+    ref = ref_grounding_evaluator.GroundingEvaluator(
+        prefixes=list(prefixes), filter_non_gt_boxes=butd_cls
+    )
+    with torch.no_grad():
+        for p in prefixes:
+            ref.evaluate(ep_t, p)
+
+    ours = GroundingEvaluator(
+        prefixes=prefixes, filter_non_gt_boxes=butd_cls
+    )
+    end_points = {
+        k: jnp.asarray(d[k])
+        for k in d
+        if k.startswith(("last_", "proposal_", "proj_tokens"))
+    }
+    targets = {
+        k: jnp.asarray(d[k])
+        for k in (
+            "center_label", "size_gts", "box_label_mask", "positive_map",
+            "modify_positive_map", "pron_positive_map", "other_entity_map",
+            "rel_positive_map", "auxi_entity_positive_map",
+        )
+    }
+    hardness = {k: d[k] for k in ("is_view_dep", "is_hard", "is_unique")}
+    inputs = {
+        "det_boxes": jnp.asarray(d["all_detected_boxes"]),
+        "det_mask": jnp.asarray(d["all_detected_bbox_label_mask"]),
+    }
+    ours.evaluate(end_points, targets, hardness=hardness, inputs=inputs)
+
+    for key, ref_val in ref.dets.items():
+        assert ours.dets[key] == ref_val, (key, ours.dets[key], ref_val)
+    for key, ref_val in ref.gts.items():
+        got = ours.gts[key]
+        assert got == pytest.approx(ref_val, abs=1.0), (key, got, ref_val)
