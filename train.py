@@ -285,6 +285,13 @@ def main(argv=None):
         data_root=args.data_root,
         log=logger.info,
     )
+    # place parameters on the mesh explicitly (replicated at model=1; the TP
+    # specs shard attention/FFN weights at model>1) so train AND eval steps
+    # see committed shardings rather than device-0 defaults
+    from eda_tpu.parallel import replicate_sharding, shard_params
+
+    params0 = shard_params(params0, mesh)
+    stats0 = jax.device_put(stats0, replicate_sharding(mesh))
     variables = {"params": params0, "batch_stats": stats0}
 
     crit = SetCriterionConfig(
@@ -325,7 +332,7 @@ def main(argv=None):
     if args.eval:
         logger.info("Testing evaluation (eval-only mode)...")
         evaluate(args, model, crit, state, model_cfg, logger,
-                 writer=writer, step=int(state.step))
+                 writer=writer, step=int(state.step), mesh=mesh)
         writer.close()
         return 0
 
@@ -401,7 +408,7 @@ def main(argv=None):
 
         if (epoch + 1) % args.val_freq == 0 or epoch == args.max_epoch - 1:
             evaluate(args, model, crit, state, model_cfg, logger,
-                     writer=writer, step=total_steps)
+                     writer=writer, step=total_steps, mesh=mesh)
 
     ckpt.save(args.max_epoch - 1, state, force=True)
     writer.close()
@@ -430,21 +437,27 @@ def tail_chunks(n: int, bsz: int):
     return chunks
 
 
-def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
+def evaluate(
+    args, model, crit, state, model_cfg, logger, writer=None, step=0, mesh=None
+):
     """Full-split grounding evaluation (reference evaluate_one_epoch,
     train_dist_mod.py:129-199 + main_utils.py:529-565).
 
     The whole test split is scored: the tail batch is padded up to the jit
-    batch size and the padding rows are masked out of the counters.
+    batch size and the padding rows are masked out of the counters. With a
+    ``mesh``, each eval batch is sharded over the 'data' axis so the forward
+    runs SPMD like the train step (the reference evaluates under DDP too,
+    main_utils.py:529-565).
     """
     import jax
     import jax.numpy as jnp
 
     from eda_tpu.eval import GroundingEvaluator
+    from eda_tpu.parallel import shard_batch
     from eda_tpu.train import make_eval_step
 
     if args.test_dataset == "scannet":
-        return evaluate_detection(args, model, state, model_cfg, logger)
+        return evaluate_detection(args, model, state, model_cfg, logger, mesh)
 
     split = "train" if args.eval_train else "val"
     cache_key = ("loader", split)
@@ -461,6 +474,10 @@ def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
         filter_non_gt_boxes=args.butd_cls,
     )
     bsz = max(args.batch_size, 1)
+    if mesh is not None:  # batch must divide over the data axis
+        n_dev = mesh.shape["data"]
+        bsz = max(bsz, n_dev)
+        bsz -= bsz % n_dev
     pairs = tail_chunks(n_val, bsz)
     chunks = [idx for idx, _ in pairs]
     valids = [valid for _, valid in pairs]
@@ -469,6 +486,8 @@ def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
     ):
         hardness = batch_np.pop("hardness", None)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         end_points, _ = eval_fn(state.params, state.batch_stats, batch)
         evaluator.evaluate(
             end_points, batch["targets"], hardness, valid=valid,
@@ -490,11 +509,13 @@ def evaluate(args, model, crit, state, model_cfg, logger, writer=None, step=0):
     return evaluator
 
 
-def evaluate_detection(args, model, state, model_cfg, logger):
+def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
     """ScanNet detection AP over the fixed 18-class prompt
     (``train_dist_mod.py:202-327`` equivalent)."""
     import jax
     import jax.numpy as jnp
+
+    from eda_tpu.parallel import shard_batch
 
     from eda_tpu.data.class_config import instance_label_to_class18
     from eda_tpu.data.dataset import MAX_NUM_OBJ
@@ -511,6 +532,10 @@ def evaluate_detection(args, model, state, model_cfg, logger):
     eval_fn = make_eval_step(model)
     calc = APCalculator(iou_thresh=0.25)
     bsz = max(args.batch_size, 1)
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        bsz = max(bsz, n_dev)
+        bsz -= bsz % n_dev
     # the eval prompt is FIXED (18 class names); tokenize once, not per batch
     from eda_tpu.data.detection_prompt import PROMPT_NAMES
 
@@ -521,6 +546,8 @@ def evaluate_detection(args, model, state, model_cfg, logger):
     for idx, valid in tail_chunks(len(ds), bsz):
         batch_np = ds.batch(idx, butd=model_cfg.butd)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         end_points, _ = eval_fn(state.params, state.batch_stats, batch)
         # recover per-sample gt classes from the scans; ds.batch(idx) row i
         # is scan ds.scan_ids[idx[i]] (pinned by test_det_eval_scan_mapping)
