@@ -116,7 +116,21 @@ def _classify(toks: List[_Tok]) -> None:
                 break
         i += matched if matched else 1
 
-    for t in toks:
+    def _np_context(i: int) -> bool:
+        """The homograph at i reads as a noun: an NP opener (DET/ADJ/NUM)
+        precedes it directly ('the stand'), or it completes a known
+        multi-word object with the previous word ('night stand', 'tv
+        stand'). A plain preceding noun does NOT qualify — that is the
+        subject of a verb reading ('the picture hanging', 'chairs stand')."""
+        if i == 0:
+            return False
+        prev = toks[i - 1]
+        if prev.kind in ("DET", "ADJ", "NUM"):
+            return True
+        bigram = f"{prev.lower} {toks[i].lower}"
+        return bigram in vocab.multiword_objects().get(2, ())
+
+    for i, t in enumerate(toks):
         if t.kind == "REL":
             continue
         if not t.text[0].isalnum():
@@ -126,7 +140,19 @@ def _classify(toks: List[_Tok]) -> None:
         elif t.lower in vocab.PRONOUNS:
             t.kind = "PRON"
         elif t.lower in vocab.COPULAS:
-            t.kind = "COP"
+            # copula/noun homographs ('stand' in "the night stand", 'can' in
+            # "the trash can"): inside an NP they are the noun — spaCy's POS
+            # tagger resolves this contextually in the reference; the NP-
+            # context check is the rule-based analog. "can not" (from NR3D's
+            # cant -> 'can not' fix) is always the modal.
+            if (
+                vocab.is_object_noun(t.lower)
+                and _np_context(i)
+                and not (i + 1 < n and toks[i + 1].lower == "not")
+            ):
+                t.kind = "NOUN_OBJ"
+            else:
+                t.kind = "COP"
         elif t.lower in vocab.CONJUNCTIONS:
             t.kind = "CONJ"
         elif t.lower.replace(".", "").isdigit() or t.lower in _NUM_WORDS or (
@@ -134,7 +160,9 @@ def _classify(toks: List[_Tok]) -> None:
         ):
             t.kind = "NUM"
         elif vocab.is_object_noun(t.lower):
-            t.kind = "NOUN_OBJ"
+            # 'can not' (NR3D's cant fix) is the modal, never the container
+            if not (t.lower == "can" and i + 1 < n and toks[i + 1].lower == "not"):
+                t.kind = "NOUN_OBJ"
         elif vocab.is_scene_noun(t.lower):
             t.kind = "NOUN_SCENE"
         elif t.lower in vocab.ATTRIBUTES:
