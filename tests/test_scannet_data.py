@@ -302,8 +302,17 @@ def test_tokenizer_fallback_warns_on_real_data(fake_scan_dir, tmp_path, caplog):
     root = _scanrefer_root(fake_scan_dir, tmp_path)
     import logging
 
-    with caplog.at_level(logging.WARNING, logger="eda_tpu"):
-        ds = GroundingDataset.from_args(_args(root, eval_mode=False), "val")
+    # setup_logger (exercised by the CLI tests) sets propagate=False on the
+    # package logger, which would hide records from caplog's root handler —
+    # force propagation so this test is order-independent.
+    pkg_logger = logging.getLogger("eda_tpu")
+    old_propagate = pkg_logger.propagate
+    pkg_logger.propagate = True
+    try:
+        with caplog.at_level(logging.WARNING, logger="eda_tpu"):
+            ds = GroundingDataset.from_args(_args(root, eval_mode=False), "val")
+    finally:
+        pkg_logger.propagate = old_propagate
     assert any("SimpleTokenizer" in r.message for r in caplog.records)
     assert len(ds) == 1
 
