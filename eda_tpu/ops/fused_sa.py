@@ -103,6 +103,23 @@ def _act_ln(x, scale, bias):
     return jax.nn.relu(_ln(x, scale, bias))
 
 
+def _ln_padded(x, scale, bias, *, c_real: int, eps=1e-5):
+    """LayerNorm over the first ``c_real`` lanes of a lane-padded ``x``.
+
+    Relies on the Pallas-kernel invariant that padding lanes are EXACTLY zero
+    (weight columns / bias / scale are zero-padded), so full-width sums equal
+    real-lane sums and padding lanes stay zero after normalization — the same
+    trick as ``ops/pallas/sa_kernel._ln_stats``.
+    """
+    x = x.astype(jnp.float32)
+    s1 = jnp.sum(x, axis=-1, keepdims=True)
+    s2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    mean = s1 / c_real
+    var = jnp.maximum(s2 / c_real - mean * mean, 0.0)
+    # zero-padded ``scale``/``bias`` force padding lanes back to exactly zero
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def _scan_pool(
     A, sxyz, b_c, cen_xyz, ranks_f, kernels, biases, ln_scales, ln_biases,
     *, statics, with_winners: bool = False,
@@ -408,9 +425,14 @@ def _hybrid_pool(statics):
          ln_biases) = res
 
         def f(A_, bc_, kernels_, biases_, scales_, lbiases_):
+            # A / b_c may arrive lane-padded for the Pallas primal; the XLA
+            # scan multiplies against the UNPADDED layer kernels, so slice
+            # back to the real width (padding lanes are exactly zero and
+            # carry no gradient).
+            c1_real = kernels_[0].shape[0]
             return _scan_pool(
-                A_, sxyz, bc_, cen_xyz, ranks_f, kernels_, biases_, scales_,
-                lbiases_, statics=statics,
+                A_[..., :c1_real], sxyz, bc_[..., :c1_real], cen_xyz, ranks_f,
+                kernels_, biases_, scales_, lbiases_, statics=statics,
             )
 
         _, vjp = jax.vjp(f, A, b_c, kernels, biases, ln_scales, ln_biases)
@@ -531,22 +553,50 @@ def fused_set_abstraction(
             num_keys=1,
         )
 
+    W = min(window, N)
+    if impl in ("pallas", "pallas_train") and W % min(128, W) != 0:
+        # the pair kernel tiles windows in wc-row slices; a window that is
+        # not a multiple of the tile (e.g. dense mode at N=50000) falls back
+        # to the XLA scan — dense windows are a coverage-measurement mode,
+        # not the production path
+        impl = "xla"
+
     # per-point projection A = LN([xyz/r ; f] @ W1 + b1): layer 0's LayerNorm
     # runs here on the (B, N) point grid — one fused XLA pass — instead of on
     # the (M x W) pair grid, where a single LN costs as much as the whole
     # pair MLP's matmuls (measured on v5e)
     pts_in = jnp.concatenate([sxyz / radius, sfeats], axis=-1)
+    c1 = w1.shape[1]
+    if impl in ("pallas", "pallas_train"):
+        # Pallas paths: bear A / b_c at the kernel's 128-lane width directly
+        # by zero-padding W1's COLUMNS (and bias/LN params), so no separate
+        # (B, N, c1)->(B, N, 128) pad / f32 convert ops run on the 50k-point
+        # grid (measured ~5 ms/step at SA1, B=32). Padding lanes stay EXACTLY
+        # zero through matmul+bias+LN (the kernel invariant), and the LN
+        # stats divide by the REAL width using full-width sums.
+        from eda_tpu.ops.pallas.sa_kernel import _ceil_lane, _pad_lanes
+
+        c1p = _ceil_lane(c1)
+        w1_eff = _pad_lanes(w1, c1p)
+        b1_eff = _pad_lanes(params.biases[0].reshape(1, -1), c1p)[0]
+        s1_eff = _pad_lanes(params.ln_scales[0].reshape(1, -1), c1p)[0]
+        lb1_eff = _pad_lanes(params.ln_biases[0].reshape(1, -1), c1p)[0]
+        ln_first = functools.partial(_ln_padded, c_real=c1)
+    else:
+        w1_eff, b1_eff = w1, params.biases[0]
+        s1_eff, lb1_eff = params.ln_scales[0], params.ln_biases[0]
+        ln_first = _ln
     A = (
-        pts_in.astype(compute_dtype) @ w1.astype(compute_dtype)
-        + params.biases[0].astype(compute_dtype)
-    )  # (B, N, c1)
-    A = _ln(A, params.ln_scales[0], params.ln_biases[0]).astype(compute_dtype)
+        pts_in.astype(compute_dtype) @ w1_eff.astype(compute_dtype)
+        + b1_eff.astype(compute_dtype)
+    )  # (B, N, c1 | c1_pad)
+    A = ln_first(A, s1_eff, lb1_eff).astype(compute_dtype)
     # per-center offset b_c = -(x_c/r) @ W1[:3]
     # in dense/presorted modes ranks ARE indices into sxyz; in the device-sort
     # mode they are positions in the sorted domain — either way this gathers
     # the center coordinates
     cen_xyz = jnp.take_along_axis(sxyz, jnp.clip(ranks, 0, N - 1)[..., None], axis=1)
-    b_c = -(cen_xyz / radius).astype(compute_dtype) @ w1[:3].astype(compute_dtype)
+    b_c = -(cen_xyz / radius).astype(compute_dtype) @ w1_eff[:3].astype(compute_dtype)
 
     n_blocks = (M + block - 1) // block
     m_pad = n_blocks * block - M
@@ -555,14 +605,6 @@ def fused_set_abstraction(
         ranks = jnp.pad(ranks, ((0, 0), (0, m_pad)), mode="edge")
         b_c = jnp.pad(b_c, ((0, 0), (0, m_pad), (0, 0)))
         cen_xyz = jnp.pad(cen_xyz, ((0, 0), (0, m_pad), (0, 0)), mode="edge")
-
-    W = min(window, N)
-    if impl in ("pallas", "pallas_train") and W % min(128, W) != 0:
-        # the pair kernel tiles windows in wc-row slices; a window that is
-        # not a multiple of the tile (e.g. dense mode at N=50000) falls back
-        # to the XLA scan — dense windows are a coverage-measurement mode,
-        # not the production path
-        impl = "xla"
     statics = (radius, W, block, n_blocks, dense, compute_dtype)
     diff_params = (
         tuple(params.kernels[1:]),
@@ -573,10 +615,12 @@ def fused_set_abstraction(
     if impl == "pallas_train":
         # Pallas forward (winner export) + fused Pallas backward: the
         # training fast path — no pair-grid rematerialization in HBM.
+        # A / b_c arrive pre-padded to the kernel lane width in compute
+        # dtype — no separate pad/convert passes over the point grid.
         outs = _pallas_train_pool(statics)(
-            A.astype(jnp.float32),
+            A,
             sxyz,
-            b_c.astype(jnp.float32),
+            b_c,
             cen_xyz,
             ranks.astype(jnp.float32),
             params.kernels[0],
@@ -588,9 +632,9 @@ def fused_set_abstraction(
         # primal runs the fast kernel, gradients re-derive through the
         # rematerialized XLA scan.
         outs = _hybrid_pool(statics)(
-            A.astype(jnp.float32),
+            A,
             sxyz,
-            b_c.astype(jnp.float32),
+            b_c,
             cen_xyz,
             ranks.astype(jnp.float32),
             params.kernels[0],
@@ -649,7 +693,9 @@ def fused_set_abstraction(
     a_self = _ln(a_self, params.ln_scales[0], params.ln_biases[0]).astype(
         compute_dtype
     )
-    h_self = jax.nn.relu(a_self + b_c[:, :M]).astype(compute_dtype)
+    # b_c may be lane-padded for the Pallas kernels; the self term runs on
+    # the real width (a_self is computed from the unpadded params)
+    h_self = jax.nn.relu(a_self + b_c[:, :M, :c1]).astype(compute_dtype)
     for i, (k, b) in enumerate(zip(kers, bias)):
         h_self = h_self @ k + b
         if i + 1 < len(kers):
