@@ -50,6 +50,9 @@ import jax
 import jax.numpy as jnp
 
 _NEG = -1e9
+# Winner-compact Pallas backward toggle (tests flip it to pin down the
+# windowed backward; see _pallas_train_pool.bwd).
+_COMPACT_BWD = True
 
 
 def morton_keys(xyz: jnp.ndarray, cell_size: float, origin: float = -50.0) -> jnp.ndarray:
@@ -343,7 +346,9 @@ def _pallas_train_pool(statics):
     def bwd(res, g):
         (A, sxyz, b_c, cen_xyz, ranks_f, winners, k0, b0, kernels, biases,
          ln_scales, ln_biases) = res
-        from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_bwd_pallas
+        from eda_tpu.ops.pallas.sa_kernel import (
+            _ceil_lane, sa_pair_pool_bwd_pallas,
+        )
 
         N = A.shape[1]
         p_starts, pb, wcp = _pallas_starts(ranks_f, statics, N)
@@ -354,9 +359,18 @@ def _pallas_train_pool(statics):
             else:
                 s, lb = jnp.ones_like(b), jnp.zeros_like(b)
             layer_params.append((k, b, s, lb))
+        # Winner-compact backward when the winner-slot grid (c_out_pad rows
+        # per center) is smaller than the window grid (W rows) — 8x less
+        # backward pair work at SA1 (W=1024, c_out=128). See
+        # sa_kernel._make_bwd_compact_kernel.
+        compact = (
+            _COMPACT_BWD
+            and W % 128 == 0
+            and _ceil_lane(winners.shape[-1]) < W
+        )
         dA, dbc, dk, db, ds, dlb = sa_pair_pool_bwd_pallas(
             A, b_c, g, winners, p_starts, layer_params,
-            window=W, block=pb, wc=wcp,
+            window=W, block=pb, wc=wcp, compact=compact,
         )
         zero = lambda x: jax.tree_util.tree_map(jnp.zeros_like, x)  # noqa: E731
         return (dA.astype(A.dtype), zero(sxyz), dbc.astype(b_c.dtype),

@@ -514,8 +514,238 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
     return kernel
 
 
+def _make_bwd_compact_kernel(widths: Tuple[int, ...], W: int, cm: int):
+    """Winner-compact backward: pair rows are (center, out_channel) slots.
+
+    The windowed backward (``_make_bwd_kernel``) re-streams and recomputes
+    the full W-row window per center block even though only the c_out winner
+    pairs per center carry gradient. This kernel's pair grid is
+    (cm x c_out_pad) rows — row ``c * c_out_pad + o`` is center ``c``'s
+    winning pair for out-channel ``o`` — i.e. W / c_out_pad x less pair work
+    (8x at SA1's W=1024, c_out=128). Winner rows are *gathered from the
+    VMEM-resident window by chunked 0/1 selection matmuls on the MXU*, and
+    dA scatters back through the same chunks' transpose contraction; the
+    XLA-level ``impl="winner"`` variant proved device gathers/scatter-adds
+    are row-rate-bound on TPU (fused_sa.py:644-651) — a matmul is not, and
+    S-chunk construction is two iota compares on the VPU.
+
+    Cotangent routing: row (c, o) carries ``g[c, o]`` at lane ``o`` only
+    (one-hot), so each channel backpropagates on its own row; the windowed
+    kernel instead backpropagates each pair row once with its multi-channel
+    cotangent. Both are exact in f32; they differ only in where the bf16
+    rounding of the cotangent happens (per-channel here), within ~2^-8
+    relative. Rows whose channel has zero cotangent (self-term winners,
+    padding channels, out-of-window default ranks) select nothing and
+    contribute exactly zero everywhere.
+    """
+    n_layers = len(widths)
+    c_out_pad = _ceil_lane(widths[-1])
+    P = cm * c_out_pad
+    n_chunks = W // _LANE
+
+    def kernel(starts_ref, a_hbm, da_in, bc_ref, g_ref, win_ref, r2_ref,
+               *rest):
+        p_refs = {}
+        k = 0
+        for li in range(1, n_layers):
+            p_refs[("w", li)] = rest[k]
+            p_refs[("wt", li)] = rest[k + 1]
+            p_refs[("b", li)] = rest[k + 2]
+            k += 3
+            if li < n_layers - 1:
+                p_refs[("scale", li)] = rest[k]
+                p_refs[("lnb", li)] = rest[k + 1]
+                k += 2
+        da_out = rest[k]
+        dbc_ref = rest[k + 1]
+        k += 2
+        o_refs = {}
+        for li in range(1, n_layers):
+            o_refs[("dw", li)] = rest[k]
+            o_refs[("db", li)] = rest[k + 1]
+            k += 2
+            if li < n_layers - 1:
+                o_refs[("ds", li)] = rest[k]
+                o_refs[("dlb", li)] = rest[k + 1]
+                k += 2
+        a_buf, da_acc, rmw_buf, sem_a, sem_rmw = rest[k:]
+
+        b = pl.program_id(0)
+        blk = pl.program_id(1)
+        n_blocks = pl.num_programs(1)
+        n_cells = pl.num_programs(0) * n_blocks
+        cell = b * n_blocks + blk
+        slot = jax.lax.rem(cell, 2)
+        next_slot = jax.lax.rem(cell + 1, 2)
+
+        def issue(cell_idx, dst_slot):
+            src_b = cell_idx // n_blocks
+            start = pl.multiple_of(starts_ref[cell_idx], 16)
+            pltpu.make_async_copy(
+                a_hbm.at[src_b, pl.ds(start, W), :],
+                a_buf.at[dst_slot],
+                sem_a.at[dst_slot],
+            ).start()
+
+        @pl.when(cell == 0)
+        def _():
+            issue(0, 0)
+            for li in range(1, n_layers):
+                o_refs[("dw", li)][:, :] = jnp.zeros_like(o_refs[("dw", li)])
+                o_refs[("db", li)][:, :] = jnp.zeros_like(o_refs[("db", li)])
+                if li < n_layers - 1:
+                    o_refs[("ds", li)][:, :] = jnp.zeros_like(o_refs[("ds", li)])
+                    o_refs[("dlb", li)][:, :] = jnp.zeros_like(o_refs[("dlb", li)])
+
+        @pl.when(cell + 1 < n_cells)
+        def _():
+            issue(cell + 1, next_slot)
+
+        da_acc[:, :] = jnp.zeros_like(da_acc[:, :])
+        win_start = pl.multiple_of(starts_ref[cell], 16)
+        pltpu.make_async_copy(
+            a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
+        ).wait()
+        a_win = a_buf.at[slot]
+
+        R2 = r2_ref[:, :]  # (P, cm) f32: R2[c * c_out_pad + o, c] = 1
+        bc_rep = jnp.dot(
+            R2, bc_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # (P, c1_pad)
+        g_rep = jnp.dot(
+            R2, g_ref[0], preferred_element_type=jnp.float32
+        )  # (P, c_out_pad)
+        win_rep = jnp.dot(
+            R2, win_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # exact in f32 for ranks < 2^24
+
+        # row (c, o): keep lane o only — cotangent AND winner rank
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (P, c_out_pad), 1)
+        row_o = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (P, c_out_pad), 0), c_out_pad
+        )
+        onehot = lane_o == row_o
+        d_out = jnp.where(onehot, g_rep, 0.0)  # (P, c_out_pad) f32
+        rel = jnp.sum(
+            jnp.where(onehot, win_rep, 0.0), axis=1, keepdims=True
+        ).astype(jnp.int32) - win_start  # (P, 1) window-relative winner row
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (P, _LANE), 1)
+
+        def s_chunk(j):
+            """(P, 128) bf16 selection: S[r, i] = 1 iff window row
+            j*128 + i is row r's winner. Rows with out-of-window ranks
+            (zero-cotangent defaults) select nothing in every chunk."""
+            return jnp.where(
+                wlane == rel - j * _LANE, 1.0, 0.0
+            ).astype(jnp.bfloat16)
+
+        # ---- gather winner rows: A_w = S @ window (exact: one 1 per row)
+        aw = None
+        for j in range(n_chunks):
+            part = jnp.dot(
+                s_chunk(j), a_win[pl.ds(j * _LANE, _LANE), :],
+                preferred_element_type=jnp.float32,
+            )
+            aw = part if aw is None else aw + part
+        h0_pre = aw + bc_rep  # matches the forward's f32 add bit-for-bit
+        hs = [jnp.maximum(h0_pre, 0.0).astype(jnp.bfloat16)]
+        stats = {}
+        for li in range(1, n_layers - 1):
+            h_pre = (
+                jnp.dot(
+                    hs[-1], p_refs[("w", li)][:, :],
+                    preferred_element_type=jnp.float32,
+                )
+                + p_refs[("b", li)][:, :]
+            )
+            c_real = widths[li]
+            mean, var = _ln_stats(h_pre, c_real)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            xhat = (h_pre - mean) * rstd
+            out = xhat * p_refs[("scale", li)][:, :] + p_refs[("lnb", li)][:, :]
+            stats[li] = (xhat, rstd)
+            hs.append(jnp.maximum(out, 0.0).astype(jnp.bfloat16))
+
+        # ---- backward (same structure as the windowed kernel's tile body)
+        last = n_layers - 1
+        d_bf = d_out.astype(jnp.bfloat16)
+        o_refs[("dw", last)][:, :] += jax.lax.dot_general(
+            hs[last - 1], d_bf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_refs[("db", last)][:, :] += jnp.sum(d_out, axis=0, keepdims=True)
+        dh = jnp.dot(
+            d_bf, p_refs[("wt", last)][:, :],
+            preferred_element_type=jnp.float32,
+        )
+        for li in range(n_layers - 2, 0, -1):
+            xhat, rstd = stats[li]
+            c_real = widths[li]
+            dln = jnp.where(hs[li].astype(jnp.float32) > 0.0, dh, 0.0)
+            o_refs[("ds", li)][:, :] += jnp.sum(
+                dln * xhat, axis=0, keepdims=True
+            )
+            o_refs[("dlb", li)][:, :] += jnp.sum(dln, axis=0, keepdims=True)
+            dxhat = dln * p_refs[("scale", li)][:, :]
+            m1 = jnp.sum(dxhat, axis=1, keepdims=True) / c_real
+            m2 = jnp.sum(dxhat * xhat, axis=1, keepdims=True) / c_real
+            dx = rstd * (dxhat - m1 - xhat * m2)
+            if c_real != dx.shape[-1]:
+                lane = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+                dx = jnp.where(lane < c_real, dx, 0.0)
+            dx_bf = dx.astype(jnp.bfloat16)
+            o_refs[("dw", li)][:, :] += jax.lax.dot_general(
+                hs[li - 1], dx_bf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_refs[("db", li)][:, :] += jnp.sum(dx, axis=0, keepdims=True)
+            dh = jnp.dot(
+                dx_bf, p_refs[("wt", li)][:, :],
+                preferred_element_type=jnp.float32,
+            )
+        dh0 = jnp.where(h0_pre > 0, dh, 0.0)  # (P, c1_pad) f32
+        # db_c: exact f32 segment sums over each center's c_out_pad rows
+        dbc_ref[0] = jnp.concatenate(
+            [
+                jnp.sum(
+                    dh0[c * c_out_pad:(c + 1) * c_out_pad, :],
+                    axis=0, keepdims=True,
+                )
+                for c in range(cm)
+            ],
+            axis=0,
+        )
+        # ---- scatter dA back through the selection transpose: window row i
+        # of chunk j receives the sum of dh0 rows whose winner it is
+        dh0_bf = dh0.astype(jnp.bfloat16)
+        for j in range(n_chunks):
+            da_acc[pl.ds(j * _LANE, _LANE), :] += jax.lax.dot_general(
+                s_chunk(j), dh0_bf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        read = pltpu.make_async_copy(
+            da_out.at[b, pl.ds(win_start, W), :], rmw_buf, sem_rmw
+        )
+        read.start()
+        read.wait()
+        rmw_buf[:, :] += da_acc[:, :]
+        write = pltpu.make_async_copy(
+            rmw_buf, da_out.at[b, pl.ds(win_start, W), :], sem_rmw
+        )
+        write.start()
+        write.wait()
+
+    return kernel
+
+
 @functools.partial(
-    jax.jit, static_argnames=("window", "block", "wc", "interpret")
+    jax.jit, static_argnames=("window", "block", "wc", "interpret", "compact")
 )
 def sa_pair_pool_bwd_pallas(
     A: jnp.ndarray,
@@ -529,8 +759,15 @@ def sa_pair_pool_bwd_pallas(
     block: int = 16,
     wc: int = 128,
     interpret: bool = False,
+    compact: bool = False,
 ):
     """Fused backward of ``sa_pair_pool_pallas`` (see ``_make_bwd_kernel``).
+
+    With ``compact=True`` the winner-compact kernel runs instead
+    (``_make_bwd_compact_kernel``): pair rows become (center, out_channel)
+    winner slots — W / c_out_pad x less recompute — gathered/scattered via
+    selection matmuls. Requires ``window % 128 == 0``; profitable when
+    c_out_pad < window (SA1: 8x fewer pair rows).
 
     Args:
         A: (B, N, c1) per-point projections — same array the forward saw.
@@ -585,8 +822,13 @@ def sa_pair_pool_bwd_pallas(
     bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
     g_pad = _pad_lanes(g.astype(jnp.float32), c_out_pad)
     win_pad = _pad_lanes(winners.astype(jnp.int32), c_out_pad)
+    if compact:
+        assert window % _LANE == 0, (window, "compact bwd tiles S by 128")
+        rep = c_out_pad  # pair rows are (center, out_channel) slots
+    else:
+        rep = wc
     R2 = jnp.asarray(
-        np.kron(np.eye(block, dtype=np.float32), np.ones((wc, 1), np.float32))
+        np.kron(np.eye(block, dtype=np.float32), np.ones((rep, 1), np.float32))
     )
     starts = (starts // 16) * 16
     da_init = jnp.zeros((B, N, c1_pad), jnp.float32)
@@ -642,7 +884,10 @@ def sa_pair_pool_bwd_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kernel = _make_bwd_kernel(widths, window, wc, block)
+    if compact:
+        kernel = _make_bwd_compact_kernel(widths, window, block)
+    else:
+        kernel = _make_bwd_kernel(widths, window, wc, block)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

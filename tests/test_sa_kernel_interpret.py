@@ -145,14 +145,23 @@ def interpret_bwd(monkeypatch):
         monkeypatch.setattr(SK, name, patched)
 
 
-def test_pallas_backward_matches_winner_routed_gradient(interpret_bwd):
+@pytest.mark.parametrize("compact", [False, True])
+def test_pallas_backward_matches_winner_routed_gradient(
+    interpret_bwd, monkeypatch, compact
+):
     """The fused Pallas backward must equal the analytic gradient of the
     pooled pre-activations with winners pinned: route each (center, channel)
     cotangent to its winning pair, backprop the pair MLP at that single pair.
     Covers windows, multiple blocks, multiple batch rows (RMW overlap), and
     the masked interior LayerNorm — checked against an explicit numpy
-    per-slot accumulation with the kernel's exact bf16 rounding points."""
+    per-slot accumulation with each kernel's exact bf16 rounding points:
+    the windowed kernel backpropagates each pair row once with its grouped
+    multi-channel cotangent and folds dA in exact f32; the winner-compact
+    kernel backpropagates one row per (center, channel) and rounds dh0 to
+    bf16 before the dA selection-matmul scatter."""
     from eda_tpu.ops import fused_sa as FS
+
+    monkeypatch.setattr(FS, "_COMPACT_BWD", compact)
 
     rng = np.random.default_rng(5)
     B, N, M, W, c1 = 2, 512, 32, 256, 8
@@ -220,17 +229,31 @@ def test_pallas_backward_matches_winner_routed_gradient(interpret_bwd):
     db2_np = np.zeros(16, np.float64)
     ds1_np = np.zeros(8, np.float64)
     dl1_np = np.zeros(8, np.float64)
-    for b in range(B):
-        for m in range(M):
-            # group channels by winning row — the kernel backpropagates each
-            # pair row ONCE with its full multi-channel cotangent, and bf16
-            # rounding does not commute with the channel sum
-            for p in np.unique(wn[b, m]):
-                d2v = np.where(
-                    (wn[b, m] == p) & (out_np[b, m] > -1e8), G_np[b, m], 0.0
-                )
-                if not d2v.any():
-                    continue
+    if compact:
+        # one cotangent route per (center, channel) winner slot
+        routes = [
+            (b, m, int(wn[b, m, c]),
+             np.where(np.arange(16) == c, G_np[b, m], 0.0))
+            for b in range(B) for m in range(M) for c in range(16)
+            if out_np[b, m, c] > -1e8 and G_np[b, m, c] != 0.0
+        ]
+    else:
+        # group channels by winning row — the windowed kernel backpropagates
+        # each pair row ONCE with its full multi-channel cotangent, and bf16
+        # rounding does not commute with the channel sum
+        routes = []
+        for b in range(B):
+            for m in range(M):
+                for p in np.unique(wn[b, m]):
+                    d2v = np.where(
+                        (wn[b, m] == p) & (out_np[b, m] > -1e8),
+                        G_np[b, m], 0.0,
+                    )
+                    if d2v.any():
+                        routes.append((b, m, int(p), d2v))
+    if True:
+        if True:
+            for b, m, p, d2v in routes:
                 h0_pre = A_eff[b, p] + bc_eff[b, m]
                 h0 = bf(np.maximum(h0_pre, 0))
                 x = h0 @ k1 + b1
@@ -251,12 +274,14 @@ def test_pallas_backward_matches_winner_routed_gradient(interpret_bwd):
                 dk1_np += np.outer(h0, dxbf)
                 db1_np += dx
                 dh0 = (k1 @ dxbf) * (h0_pre > 0)
-                dA_np[b, p] += dh0
+                # the compact kernel rounds dh0 to bf16 before the selection
+                # -matmul scatter; the windowed fold adds exact f32
+                dA_np[b, p] += bf(dh0) if compact else dh0
                 dbc_np[b, m] += dh0
 
-    # dA/dbc folds are exact f32 in the kernel; weight grads round the
+    # dbc folds are exact f32 in both kernels; weight grads round the
     # cotangent to bf16 before the MXU -> small tolerance there.
-    np.testing.assert_allclose(np.asarray(dA_k), dA_np, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dA_k), dA_np, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dbc_k), dbc_np, atol=1e-4)
     for got, want in [
         (dk_k[0], dk1_np), (dk_k[1], dk2_np), (db_k[0], db1_np),
