@@ -121,16 +121,21 @@ def convert_hf_state_dict(state_dict: dict, num_layers: int, heads: int) -> dict
             "bias": np.asarray(state_dict[prefix + ".bias"]),
         }
 
+    # HF adds token_type_embeddings[token_type_ids] before the embedding
+    # LayerNorm; the grounder only ever encodes single-segment text
+    # (token_type 0 everywhere, like the reference's tokenizer call at
+    # bdetr.py:170-172), so that row is a constant offset — fold it into the
+    # position table instead of carrying a dead lookup in the XLA graph.
+    pos_table = np.asarray(state_dict["embeddings.position_embeddings.weight"])
+    tok_type = state_dict.get("embeddings.token_type_embeddings.weight")
+    if tok_type is not None:
+        pos_table = pos_table + np.asarray(tok_type)[0]
     params = {
         "embeddings": {
             "word_embeddings": {
                 "embedding": np.asarray(state_dict["embeddings.word_embeddings.weight"])
             },
-            "position_embeddings": {
-                "embedding": np.asarray(
-                    state_dict["embeddings.position_embeddings.weight"]
-                )
-            },
+            "position_embeddings": {"embedding": pos_table},
             "layer_norm": ln("embeddings.LayerNorm"),
         }
     }
