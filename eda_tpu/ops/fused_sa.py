@@ -53,6 +53,8 @@ _NEG = -1e9
 # Winner-compact Pallas backward toggle (tests flip it to pin down the
 # windowed backward; see _pallas_train_pool.bwd).
 _COMPACT_BWD = True
+# Forward pair-tile rows (window points per tile). None = min(128, W).
+_FWD_WC = None
 
 
 def morton_keys(xyz: jnp.ndarray, cell_size: float, origin: float = -50.0) -> jnp.ndarray:
@@ -327,7 +329,9 @@ def _pallas_train_pool(statics):
             layer_params.append((k, b, s, lb))
         return sa_pair_pool_pallas(
             A, sxyz, b_c, cen_xyz, p_starts, layer_params,
-            radius=radius, window=W, block=pb, wc=wcp, with_winners=True,
+            radius=radius, window=W, block=pb,
+            wc=(_FWD_WC if _FWD_WC and W % _FWD_WC == 0 else wcp),
+            with_winners=True,
         )
 
     @jax.custom_vjp
@@ -445,7 +449,8 @@ def _hybrid_pool(statics):
             # carry no gradient).
             c1_real = kernels_[0].shape[0]
             return _scan_pool(
-                A_[..., :c1_real], sxyz, bc_[..., :c1_real], cen_xyz, ranks_f,
+                A_[..., :c1_real], sxyz[..., :3], bc_[..., :c1_real],
+                cen_xyz, ranks_f,
                 kernels_, biases_, scales_, lbiases_, statics=statics,
             )
 
@@ -581,6 +586,7 @@ def fused_set_abstraction(
     # pair MLP's matmuls (measured on v5e)
     pts_in = jnp.concatenate([sxyz / radius, sfeats], axis=-1)
     c1 = w1.shape[1]
+    pool_xyz = sxyz  # what the pool functions receive as xyz
     if impl in ("pallas", "pallas_train"):
         # Pallas paths: bear A / b_c at the kernel's 128-lane width directly
         # by zero-padding W1's COLUMNS (and bias/LN params), so no separate
@@ -600,11 +606,32 @@ def fused_set_abstraction(
         w1_eff, b1_eff = w1, params.biases[0]
         s1_eff, lb1_eff = params.ln_scales[0], params.ln_biases[0]
         ln_first = _ln
-    A = (
-        pts_in.astype(compute_dtype) @ w1_eff.astype(compute_dtype)
-        + b1_eff.astype(compute_dtype)
-    )  # (B, N, c1 | c1_pad)
-    A = ln_first(A, s1_eff, lb1_eff).astype(compute_dtype)
+    from eda_tpu.ops.pallas.sa_prep import _row_block, sa_prep
+
+    if impl in ("pallas", "pallas_train") and N % 16 == 0 and _row_block(N) <= 4096:
+        # Fused layer-0 prep kernel: matmul + bias + LN + compute-dtype cast
+        # + the 128-lane xyz pad in ONE pass over the point grid each way
+        # (the separate XLA passes measured ~15 ms/step at SA1, B=32 —
+        # including a 820 MB standalone pad op for the pair kernel's xyz
+        # DMA layout). The xyz/radius division happens in-kernel at the
+        # same rounding point as the XLA formulation.
+        pts_raw = jnp.concatenate([sxyz, sfeats], axis=-1)
+        A, pool_xyz = sa_prep(
+            pts_raw,
+            w1_eff,
+            b1_eff.reshape(1, -1),
+            s1_eff.reshape(1, -1),
+            lb1_eff.reshape(1, -1),
+            c_real=c1,
+            radius=radius,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        A = (
+            pts_in.astype(compute_dtype) @ w1_eff.astype(compute_dtype)
+            + b1_eff.astype(compute_dtype)
+        )  # (B, N, c1 | c1_pad)
+        A = ln_first(A, s1_eff, lb1_eff).astype(compute_dtype)
     # per-center offset b_c = -(x_c/r) @ W1[:3]
     # in dense/presorted modes ranks ARE indices into sxyz; in the device-sort
     # mode they are positions in the sorted domain — either way this gathers
@@ -633,7 +660,7 @@ def fused_set_abstraction(
         # dtype — no separate pad/convert passes over the point grid.
         outs = _pallas_train_pool(statics)(
             A,
-            sxyz,
+            pool_xyz,
             b_c,
             cen_xyz,
             ranks.astype(jnp.float32),
@@ -647,7 +674,7 @@ def fused_set_abstraction(
         # rematerialized XLA scan.
         outs = _hybrid_pool(statics)(
             A,
-            sxyz,
+            pool_xyz,
             b_c,
             cen_xyz,
             ranks.astype(jnp.float32),
