@@ -19,8 +19,9 @@ Layout (every op Mosaic-friendly):
   (``pltpu.repeat``);
 * blocks are SMALL (cm ~ 8-16 centers): rank-sorted centers are spatially
   local, so a small block needs only a short window (W ~ 512), cutting total
-  pair work ~4x vs wide blocks, and whole out-of-radius tiles skip their
-  MLP via ``pl.when``;
+  pair work ~4x vs wide blocks (out-of-radius tiles run anyway: a
+  ``pl.when`` radius precheck measured 15-26% slower end to end — per-tile
+  control flow defeats Mosaic's pipelining);
 * manually-DMA'd arrays must have 128-aligned lane dims, so A and xyz are
   zero-padded to 128 lanes; padding lanes carry zero weights/scale/bias so
   they stay EXACTLY zero through the MLP, which lets LayerNorm use
@@ -35,6 +36,7 @@ like the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -45,6 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
 _LANE = 128
+# Windowed-backward per-tile winner-liveness branch. The forward's radius
+# precheck measured 15-26% slower than just running every tile; this flag
+# exists to run the same A/B for the backward (a dead tile's body only adds
+# zeros, so both settings are exact).
+_BWD_TILE_SKIP = os.environ.get("EDA_SA_BWD_TILE_SKIP", "1") == "1"
 
 
 def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -176,75 +183,80 @@ def _make_kernel(
             d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
             in_radius = d2 <= r2
 
-            @pl.when(jnp.any(in_radius))
-            def _():
-                # A arrives PRE-NORMALIZED (layer 0's LN runs on the point
-                # grid outside); the last layer's LN+ReLU runs on the pooled
-                # centers outside. Only interior layers pay pair-grid LN —
-                # measured on v5e, each pair-grid LN costs as much as the
-                # whole tile's MXU matmuls.
-                awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
-                aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
-                h = jnp.maximum(aw_rep + bc_rep, 0.0).astype(jnp.bfloat16)
-                for li in range(1, n_layers):
-                    w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
-                    h_pre = (
-                        jnp.dot(h, w, preferred_element_type=jnp.float32)
-                        + param_refs[4 * li + 1][:, :]  # (1, C_pad_out)
-                    )
-                    if li < n_layers - 1:
-                        h = _ln_relu_masked(
-                            h_pre,
-                            param_refs[4 * li + 2][:, :],
-                            param_refs[4 * li + 3][:, :],
-                            widths[li],
-                        ).astype(jnp.bfloat16)
-                    else:
-                        h = h_pre  # last layer: pool the f32 pre-activation
+            # NO per-tile skip branch: a pl.when(any(in_radius)) precheck
+            # measured 15-26% SLOWER end to end (round 3, B=32 SA1 on both
+            # uniform and synthetic-scene geometry) — the any() reduction
+            # plus per-tile control flow defeats Mosaic's pipelining, and
+            # an all-out-of-radius tile is already a no-op (all rows -NEG,
+            # accumulator max unchanged). This reverses the round-2 lore
+            # that tile skipping was worth ~30%.
+            # A arrives PRE-NORMALIZED (layer 0's LN runs on the point
+            # grid outside); the last layer's LN+ReLU runs on the pooled
+            # centers outside. Only interior layers pay pair-grid LN —
+            # measured on v5e, each pair-grid LN costs as much as the
+            # whole tile's MXU matmuls.
+            awt = a_win[pl.ds(t * wc, wc), :].astype(jnp.float32)
+            aw_rep = pltpu.repeat(awt, cm, axis=0)  # (P, C_pad)
+            h = jnp.maximum(aw_rep + bc_rep, 0.0).astype(jnp.bfloat16)
+            for li in range(1, n_layers):
+                w = param_refs[4 * li][:, :]  # (C_pad_in, C_pad_out)
+                h_pre = (
+                    jnp.dot(h, w, preferred_element_type=jnp.float32)
+                    + param_refs[4 * li + 1][:, :]  # (1, C_pad_out)
+                )
+                if li < n_layers - 1:
+                    h = _ln_relu_masked(
+                        h_pre,
+                        param_refs[4 * li + 2][:, :],
+                        param_refs[4 * li + 3][:, :],
+                        widths[li],
+                    ).astype(jnp.bfloat16)
+                else:
+                    h = h_pre  # last layer: pool the f32 pre-activation
 
-                masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
-                # center-major segmented max: each center's wc contiguous
-                # rows reduce across sublanes; the running accumulators then
-                # update ONCE per tile on the stacked (cm, C) results
-                # (single-sublane (1, C) read-modify-writes were ~2x the
-                # cost of the segment reductions themselves).
-                seg_maxes = [
+            masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
+            # center-major segmented max: each center's wc contiguous
+            # rows reduce across sublanes; the running accumulators then
+            # update ONCE per tile on the stacked (cm, C) results
+            # (single-sublane (1, C) read-modify-writes were ~2x the
+            # cost of the segment reductions themselves).
+            seg_maxes = [
+                jnp.max(
+                    masked[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
+                )
+                for c in range(cm)
+            ]
+            seg_max = jnp.concatenate(seg_maxes, axis=0)  # (cm, C)
+            if not with_winners:
+                acc[:, :] = jnp.maximum(acc[:, :], seg_max)
+            else:
+                # winner export: per (center, channel) the GLOBAL rank
+                # of the argmax point. In-tile argmax via masked
+                # row-iota (no sublane argmax primitive); across tiles
+                # strict > keeps the first-seen max like the running
+                # fold.
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (wc, masked.shape[1]), 0
+                )
+                in_segs = [
                     jnp.max(
-                        masked[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
+                        jnp.where(
+                            masked[c * wc:(c + 1) * wc, :]
+                            >= seg_maxes[c],
+                            rows,
+                            -1,
+                        ),
+                        axis=0,
+                        keepdims=True,
                     )
                     for c in range(cm)
                 ]
-                seg_max = jnp.concatenate(seg_maxes, axis=0)  # (cm, C)
-                if not with_winners:
-                    acc[:, :] = jnp.maximum(acc[:, :], seg_max)
-                else:
-                    # winner export: per (center, channel) the GLOBAL rank
-                    # of the argmax point. In-tile argmax via masked
-                    # row-iota (no sublane argmax primitive); across tiles
-                    # strict > keeps the first-seen max like the running
-                    # fold.
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (wc, masked.shape[1]), 0
-                    )
-                    in_segs = [
-                        jnp.max(
-                            jnp.where(
-                                masked[c * wc:(c + 1) * wc, :]
-                                >= seg_maxes[c],
-                                rows,
-                                -1,
-                            ),
-                            axis=0,
-                            keepdims=True,
-                        )
-                        for c in range(cm)
-                    ]
-                    in_seg = jnp.concatenate(in_segs, axis=0)  # (cm, C)
-                    better = seg_max > acc[:, :]
-                    acc_idx[:, :] = jnp.where(
-                        better, win_start + t * wc + in_seg, acc_idx[:, :]
-                    )
-                    acc[:, :] = jnp.where(better, seg_max, acc[:, :])
+                in_seg = jnp.concatenate(in_segs, axis=0)  # (cm, C)
+                better = seg_max > acc[:, :]
+                acc_idx[:, :] = jnp.where(
+                    better, win_start + t * wc + in_seg, acc_idx[:, :]
+                )
+                acc[:, :] = jnp.where(better, seg_max, acc[:, :])
 
         # static (unrolled) loop: slice offsets must be compile-time aligned
         for t in range(W // wc):
@@ -384,14 +396,16 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
             # g = 0, and the winner default rank 0 would otherwise force
             # tile 0 to run everywhere. The liveness test runs on the COMPACT
             # (cm, c_out) block arrays — the replicated (P, c_out) masks are
-            # only materialized inside the live branch.
+            # only materialized inside the live branch. A dead tile's body is
+            # a no-op (eq rows either miss or carry g = 0, so every
+            # accumulator update adds zeros), which lets _BWD_TILE_SKIP drop
+            # the branch entirely for A/B measurement.
             lo = win_start + t * wc
             live = (
                 (win_blk >= lo) & (win_blk < lo + wc) & (g_blk != 0.0)
             )  # (cm, c_out_pad)
 
-            @pl.when(jnp.any(live))
-            def _():
+            def _live_body():
                 grow = rows_rep + lo
                 eq = grow == win_rep  # (P, c_out_pad)
                 d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
@@ -492,6 +506,11 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
                     ],
                     axis=0,
                 )
+
+            if _BWD_TILE_SKIP:
+                pl.when(jnp.any(live))(_live_body)
+            else:
+                _live_body()
 
         for t in range(W // wc):
             tile_body(t)
