@@ -36,7 +36,6 @@ like the XLA path.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence, Tuple
 
 import jax
@@ -47,11 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
 _LANE = 128
-# Windowed-backward per-tile winner-liveness branch. The forward's radius
-# precheck measured 15-26% slower than just running every tile; this flag
-# exists to run the same A/B for the backward (a dead tile's body only adds
-# zeros, so both settings are exact).
-_BWD_TILE_SKIP = os.environ.get("EDA_SA_BWD_TILE_SKIP", "1") == "1"
 
 
 def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -293,9 +287,9 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
     * weight / bias / LN grads: outputs with a constant index map — the block
       stays resident in VMEM across the whole grid and is written back once.
 
-    Tiles with no winner for any center skip their recompute AND their
-    backward entirely (``pl.when``) — strictly more skippable than the
-    forward's radius precheck.
+    Tiles run branch-free, winners or not (a dead tile only adds zeros):
+    a per-tile winner-liveness ``pl.when`` measured 4-7% slower, same
+    pipelining story as the forward's removed radius precheck.
     """
     n_layers = len(widths)
 
@@ -387,25 +381,18 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
         )
         rows_rep = pltpu.repeat(rows, cm, axis=0)  # (P, c_out_pad) tile
 
-        win_blk = win_ref[0]  # (cm, c_out_pad) int32
-        g_blk = g_ref[0]  # (cm, c_out_pad) f32
-
         def tile_body(t):
-            # skip on ZERO COTANGENT, not just winner presence: centers whose
-            # pooled value lost to the self term (or padding centers) carry
-            # g = 0, and the winner default rank 0 would otherwise force
-            # tile 0 to run everywhere. The liveness test runs on the COMPACT
-            # (cm, c_out) block arrays — the replicated (P, c_out) masks are
-            # only materialized inside the live branch. A dead tile's body is
-            # a no-op (eq rows either miss or carry g = 0, so every
-            # accumulator update adds zeros), which lets _BWD_TILE_SKIP drop
-            # the branch entirely for A/B measurement.
+            # NO per-tile winner-liveness branch: like the forward's radius
+            # precheck, a pl.when(any(live)) skip measured SLOWER (SA2
+            # 34.9 -> 32.4 ms, SA3 20.0 -> 18.9, SA4 13.2 -> 12.7 without
+            # it, B=32) — the reduction + control flow defeat Mosaic's
+            # pipelining. A dead tile's body is exact anyway: eq rows either
+            # miss (winner outside the tile) or carry g = 0 (center lost to
+            # the self term / padding, winner default rank 0), so every
+            # accumulator update adds zeros.
             lo = win_start + t * wc
-            live = (
-                (win_blk >= lo) & (win_blk < lo + wc) & (g_blk != 0.0)
-            )  # (cm, c_out_pad)
 
-            def _live_body():
+            def _tile():
                 grow = rows_rep + lo
                 eq = grow == win_rep  # (P, c_out_pad)
                 d_out = jnp.where(eq, g_rep, 0.0)  # (P, c_out_pad) f32
@@ -507,10 +494,7 @@ def _make_bwd_kernel(widths: Tuple[int, ...], W: int, wc: int, cm: int):
                     axis=0,
                 )
 
-            if _BWD_TILE_SKIP:
-                pl.when(jnp.any(live))(_live_body)
-            else:
-                _live_body()
+            _tile()
 
         for t in range(W // wc):
             tile_body(t)
