@@ -116,7 +116,7 @@ class TrainConfig:
     weight_decay: float = 5e-4
     max_epoch: int = 100
     warmup_epoch: int = -1
-    warmup_multiplier: float = 40.0
+    warmup_multiplier: float = 100.0  # main_utils.py:95
     lr_decay_epochs: Sequence[int] = (50, 75)
     lr_decay_rate: float = 0.1
     clip_norm: float = 0.1

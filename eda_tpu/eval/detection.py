@@ -64,17 +64,20 @@ def parse_predictions(
     for b in range(B):
         keep = nms_3d(corners[b], obj_prob[b], nms_iou, classes=pred_cls[b])
         dets: List[Tuple[int, np.ndarray, float]] = []
+        # Reference filters on OBJECTNESS, not the per-class score
+        # (ap_helper.py:222-228: `obj_prob[i, j] > conf_thresh`).
         if per_class_proposal:
             for c in range(cls_probs.shape[-1]):
                 for j in keep:
-                    score = cls_probs[b, j, c] * obj_prob[b, j]
-                    if score > conf_thresh:
+                    if obj_prob[b, j] > conf_thresh:
+                        score = cls_probs[b, j, c] * obj_prob[b, j]
                         dets.append((c, corners[b, j], float(score)))
         else:
             for j in keep:
-                score = obj_prob[b, j]
-                if score > conf_thresh:
-                    dets.append((int(pred_cls[b, j]), corners[b, j], float(score)))
+                if obj_prob[b, j] > conf_thresh:
+                    dets.append(
+                        (int(pred_cls[b, j]), corners[b, j], float(obj_prob[b, j]))
+                    )
         results.append(dets)
     return results
 
@@ -107,14 +110,15 @@ def parse_predictions_from_probs(
         if per_class_proposal:
             for c in range(cls_probs.shape[-1]):
                 for j in keep:
-                    score = cls_probs[b, j, c] * obj_prob[b, j]
-                    if score > conf_thresh:
+                    if obj_prob[b, j] > conf_thresh:
+                        score = cls_probs[b, j, c] * obj_prob[b, j]
                         dets.append((c, corners[b, j], float(score)))
         else:
             for j in keep:
-                score = obj_prob[b, j]
-                if score > conf_thresh:
-                    dets.append((int(pred_cls[b, j]), corners[b, j], float(score)))
+                if obj_prob[b, j] > conf_thresh:
+                    dets.append(
+                        (int(pred_cls[b, j]), corners[b, j], float(obj_prob[b, j]))
+                    )
         results.append(dets)
     return results
 
@@ -182,15 +186,25 @@ class APCalculator:
             self._gt[sid] = gts
 
     def compute_metrics(self) -> Dict[str, float]:
-        classes = sorted({c for gts in self._gt.values() for c, _ in gts})
+        # The class universe is GT classes UNION predicted classes: the
+        # reference's eval_det seeds `gt[classname]` while walking the
+        # predictions too (utils/eval_det.py:277-286), so with per-class
+        # proposals every class scores (pred-only classes at AP 0) and the
+        # mAP mean runs over all of them (ap_helper.py:341).
+        classes = sorted(
+            {c for gts in self._gt.values() for c, _ in gts}
+            | {c for preds in self._pred.values() for c, _, _ in preds}
+        )
         out: Dict[str, float] = {}
-        aps = []
+        aps, recs = [], []
         for c in classes:
             ap, rec = self._eval_class(c)
             out[f"ap_{c}"] = ap
             out[f"recall_{c}"] = rec
             aps.append(ap)
+            recs.append(rec)
         out["mAP"] = float(np.mean(aps)) if aps else 0.0
+        out["AR"] = float(np.mean(recs)) if recs else 0.0
         return out
 
     def _eval_class(self, cls: int) -> Tuple[float, float]:
@@ -224,6 +238,7 @@ class APCalculator:
                 fp[i] = 1
         cum_tp = np.cumsum(tp)
         cum_fp = np.cumsum(fp)
-        recall = cum_tp / npos
-        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+        # reference denominators verbatim (utils/eval_det.py:240-249)
+        recall = cum_tp / float(npos + 1e-8)
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, np.finfo(np.float64).eps)
         return voc_ap(recall, precision), float(recall[-1])

@@ -5,6 +5,17 @@ Reference ``main_utils.py:276-305``: AdamW over {main params at --lr,
 --text_encoder_lr (frozen in practice)}, weight decay 5e-4, per-iteration
 MultiStepLR or CosineAnnealing (``utils/lr_scheduler.py:11-92``), optional
 warmup, global-norm gradient clip 0.1 (``main_utils.py:500-508``).
+
+Schedule semantics are reference-exact (pinned by
+``tests/test_reference_parity_eval.py`` against the actual torch
+schedulers): ``get_scheduler`` offsets milestones and the cosine horizon by
+the RAW ``warmup_epoch`` — including its disabled default of -1
+(``lr_scheduler.py:75-85``), so the published recipes (warmup off) decay at
+iteration ``(m + 1) * iters_per_epoch``, one epoch after the flag value.
+Cosine anneals to ``eta_min=1e-6`` over ``(max_epoch - warmup_epoch)``
+epochs. The warmup ramp is ``base/mult * (1 + (mult-1) * t / warm_steps)``
+(``lr_scheduler.py:31-35``) and the post-warmup schedule is evaluated at
+``t - warm_steps``.
 """
 
 from __future__ import annotations
@@ -12,9 +23,12 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from eda_tpu.config import TrainConfig
+
+COSINE_ETA_MIN = 1e-6  # lr_scheduler.py:76
 
 
 def _group_of(path) -> str:
@@ -34,25 +48,50 @@ def param_labels(params) -> Dict:
 
 
 def make_lr_schedules(cfg: TrainConfig, steps_per_epoch: int):
-    """Per-group LR schedules (per-iteration stepping, lr_scheduler.py:24-34)."""
+    """Per-group LR schedules (per-iteration stepping, lr_scheduler.py:24-34).
+
+    Returns jittable ``count -> lr`` callables where ``count`` is the number
+    of optimizer updates performed so far (the lr used by update ``t`` is
+    ``schedule(t)``, matching the reference's step-after-update loop:
+    construction-time lr for the first iteration, then one scheduler step
+    per iteration, ``main_utils.py:448-526``).
+    """
+
+    we = cfg.warmup_epoch  # raw value; -1 (disabled) still offsets milestones
 
     def schedule(base_lr: float) -> Callable:
         if cfg.lr_scheduler == "cosine":
-            main = optax.cosine_decay_schedule(
-                base_lr, decay_steps=max(1, cfg.max_epoch * steps_per_epoch)
-            )
+            horizon = max(1, (cfg.max_epoch - we) * steps_per_epoch)
+
+            def main(t):
+                # torch CosineAnnealingLR closed form; the training horizon
+                # (max_epoch * steps) never exceeds it, clamp for safety
+                tt = jnp.minimum(t, horizon)
+                cosf = 0.5 * (1.0 + jnp.cos(jnp.pi * tt / horizon))
+                return COSINE_ETA_MIN + (base_lr - COSINE_ETA_MIN) * cosf
+
         else:
-            boundaries = {
-                e * steps_per_epoch: cfg.lr_decay_rate for e in cfg.lr_decay_epochs
-            }
-            main = optax.piecewise_constant_schedule(base_lr, boundaries)
-        if cfg.warmup_epoch <= 0:
+            milestones = jnp.asarray(
+                [(m - we) * steps_per_epoch for m in cfg.lr_decay_epochs],
+                jnp.int32,
+            )
+
+            def main(t):
+                # torch MultiStepLR closed form: gamma ** bisect_right(ms, t)
+                n = jnp.sum(t >= milestones)
+                return base_lr * cfg.lr_decay_rate ** n
+
+        if we <= 0:
             return main
-        warm_steps = cfg.warmup_epoch * steps_per_epoch
-        warm = optax.linear_schedule(
-            base_lr / cfg.warmup_multiplier, base_lr, warm_steps
-        )
-        return optax.join_schedules([warm, main], [warm_steps])
+        warm_steps = we * steps_per_epoch
+        mult = cfg.warmup_multiplier
+
+        def sched(t):
+            tw = jnp.minimum(t, warm_steps)
+            warm_lr = base_lr / mult * ((mult - 1.0) * tw / warm_steps + 1.0)
+            return jnp.where(t > warm_steps, main(t - warm_steps), warm_lr)
+
+        return sched
 
     return {
         "main": schedule(cfg.lr),

@@ -173,8 +173,12 @@ def test_ap_calculator_perfect_detection(rng):
     calc = APCalculator(iou_thresh=0.25)
     calc.step(preds, gts)
     metrics = calc.compute_metrics()
-    assert metrics["mAP"] == pytest.approx(1.0, abs=1e-6)
-    assert metrics["recall_0"] == 1.0
+    # per-class proposals emit detections for ALL 4 classes; class 3 has no
+    # GT, scores AP 0, and still enters the mAP mean (reference semantics,
+    # utils/eval_det.py:277-286 + ap_helper.py:341) -> mAP = 3/4
+    assert metrics["mAP"] == pytest.approx(0.75, abs=1e-6)
+    assert metrics["ap_0"] == pytest.approx(1.0, abs=1e-6)
+    assert metrics["recall_0"] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_ap_calculator_false_positives(rng):

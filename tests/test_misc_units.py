@@ -12,12 +12,14 @@ from eda_tpu.train.optim import make_lr_schedules
 
 
 def test_multistep_schedule_decays_at_epoch_boundaries():
+    # Reference quirk (lr_scheduler.py:80-85): milestones are offset by the
+    # RAW warmup_epoch (-1 when disabled), so decay lands at (m + 1) epochs.
     cfg = TrainConfig(lr=1e-3, lr_decay_epochs=(2, 4), lr_decay_rate=0.1)
     sched = make_lr_schedules(cfg, steps_per_epoch=10)["main"]
     np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(19)), 1e-3, rtol=1e-5)
-    np.testing.assert_allclose(float(sched(20)), 1e-4, rtol=1e-6)
-    np.testing.assert_allclose(float(sched(40)), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(29)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(30)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 1e-5, rtol=1e-6)
 
 
 def test_warmup_schedule_ramps():

@@ -69,6 +69,8 @@ def parse_args(argv=None):
     p.add_argument("--lr_decay_rate", type=float, default=0.1)
     p.add_argument("--lr-scheduler", dest="lr_scheduler", default="multistep")
     p.add_argument("--warmup-epoch", dest="warmup_epoch", type=int, default=-1)
+    p.add_argument("--warmup-multiplier", dest="warmup_multiplier", type=int,
+                   default=100)
     p.add_argument("--clip_norm", type=float, default=0.1)
     # io
     p.add_argument("--log_dir", default="logs/eda_tpu")
@@ -126,6 +128,7 @@ def build_configs(args):
         lr_decay_rate=args.lr_decay_rate,
         lr_scheduler=args.lr_scheduler,
         warmup_epoch=args.warmup_epoch,
+        warmup_multiplier=args.warmup_multiplier,
         clip_norm=args.clip_norm,
         save_freq=args.save_freq,
         val_freq=args.val_freq,
