@@ -51,18 +51,32 @@ class Augmentation:
     shift: np.ndarray  # (3,)
     scale: float
 
-    def apply_points(self, xyz: np.ndarray) -> np.ndarray:
+    def apply_points(
+        self, xyz: np.ndarray, noise: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Flips -> rotations -> (+noise) -> +shift -> *scale, the reference's
+        exact operation order (joint_det_dataset.py:425-460: noise lands
+        BEFORE the shift/scale, so it is scaled too)."""
         out = xyz.copy()
         if self.flip_x:
             out[:, 0] = -out[:, 0]
         if self.flip_y:
             out[:, 1] = -out[:, 1]
         out = out @ self.rotation.T
+        if noise is not None:
+            out = out + noise
         return (out + self.shift) * self.scale
 
     def apply_boxes(self, boxes: np.ndarray) -> np.ndarray:
         """cxcyczwhd boxes; rotation re-derives the axis-aligned extent from
-        transformed corners (joint_det_dataset.py:823-835)."""
+        transformed corners (joint_det_dataset.py:823-835).
+
+        Deliberate deviation: the reference transforms detected boxes as
+        rotate-THEN-flip (:825-831) while its point cloud is flipped BEFORE
+        rotating (:425-438) — under a flip the two differ by ~2*theta_z of
+        rotation, leaving detected boxes rotated away from the scene they
+        describe (up to ~180 deg at the 90/270-degree z-rotations). We apply
+        the SAME composite as the points so the box stream stays aligned."""
         out = boxes.copy()
         centers, sizes = out[:, :3], out[:, 3:]
         corners = np.stack(
@@ -123,8 +137,7 @@ def augment_scene(
     (``joint_det_dataset.py:825-835``).
     """
     aug = sample_augmentation(rng, rotate)
-    new_xyz = aug.apply_points(xyz)
-    new_xyz = new_xyz + rng.random((len(xyz), 3)) * 5e-3
+    new_xyz = aug.apply_points(xyz, noise=rng.random((len(xyz), 3)) * 5e-3)
     new_boxes = aug.apply_boxes(boxes)
     new_color = color
     if color is not None:

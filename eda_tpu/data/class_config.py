@@ -53,7 +53,7 @@ def raw_to_nyu40class() -> Dict[str, str]:
 
 @functools.lru_cache(maxsize=1)
 def full_class_list() -> List[str]:
-    """All raw category names in TSV order (the 485-class vocabulary)."""
+    """All raw category names in TSV order (607 rows; superset vocabulary)."""
     import csv
 
     names = []
@@ -66,6 +66,81 @@ def full_class_list() -> List[str]:
 @functools.lru_cache(maxsize=1)
 def raw_to_full_id() -> Dict[str, int]:
     return {name: i for i, name in enumerate(full_class_list())}
+
+
+@functools.lru_cache(maxsize=1)
+def raw_to_tsv_id() -> Dict[str, int]:
+    """raw instance label -> TSV 'id' column (the reference's self.label_map,
+    joint_det_dataset.py:86-90)."""
+    return {k: int(v) for k, v in read_label_mapping(
+        LABELS_TSV, "raw_category", "id"
+    ).items()}
+
+
+# ---------------------------------------------------------------------------
+# 485-class object vocabulary (the butd box-stream / class-embedding space)
+# ---------------------------------------------------------------------------
+# The reference indexes detected/scene boxes with DC(485) class ranks
+# (joint_det_dataset.py:807-809, 889-900) which key the 485-row
+# class_embeddings3d.npy table (bdetr.py:90-95, data/gen_class_embeddings.py).
+# The vocabulary is a CURATED 485-name subset of the 607 TSV categories
+# (39 names are display aliases, e.g. 'couch' for TSV 'sofa'), so it cannot
+# be derived from the TSV alone; class485_vocab.tsv records it as data
+# (rank, TSV id, display name) extracted from the reference's
+# data/model_util_scannet.py:28-33 constants — like the typo tables, these
+# are vocabulary constants, not code.
+
+CLASS485_TSV = LABELS_TSV.replace(
+    "scannetv2-labels.combined.tsv", "class485_vocab.tsv"
+)
+
+
+class DatasetConfig485:
+    """485-way object vocabulary with TSV-id bridging (reference DC)."""
+
+    num_class = 485
+
+    def __init__(self):
+        import csv
+
+        ranks, names = [], []
+        with open(CLASS485_TSV, newline="") as f:
+            for row in csv.DictReader(f, delimiter="\t"):
+                ranks.append(int(row["tsv_id"]))
+                names.append(row["name"])
+        self.type2class: Dict[str, int] = {n: i for i, n in enumerate(names)}
+        self.class2type = {i: n for i, n in enumerate(names)}
+        self.nyu40ids = ranks  # TSV ids despite the reference's field name
+        self.nyu40id2class = {tid: i for i, tid in enumerate(ranks)}
+
+
+@functools.lru_cache(maxsize=1)
+def dc485() -> DatasetConfig485:
+    return DatasetConfig485()
+
+
+@functools.lru_cache(maxsize=1)
+def class485_names() -> List[str]:
+    """The 485 display names in class-rank order (embedding-table rows)."""
+    cfg = dc485()
+    return [cfg.class2type[i] for i in range(cfg.num_class)]
+
+
+def instance_label_in_class485(label: str) -> bool:
+    """The reference's scene-object keep filter
+    (``label_map[...] in DC.nyu40id2class``, joint_det_dataset.py:889-893)."""
+    return raw_to_tsv_id().get(label) in dc485().nyu40id2class
+
+
+def instance_label_to_class485(label: str, default: int = 0) -> int:
+    """raw instance label -> 485-way class rank
+    (``DC.nyu40id2class[label_map[c]]``, joint_det_dataset.py:807-809).
+
+    The reference KeyErrors on out-of-vocab labels (unreachable in practice:
+    GroupFree detections and kept scene objects are always in-vocab);
+    ``default`` keeps fabricated fixtures safe.
+    """
+    return dc485().nyu40id2class.get(raw_to_tsv_id().get(label), default)
 
 
 def instance_label_to_class18(label: str) -> int:

@@ -26,7 +26,11 @@ import numpy as np
 
 from eda_tpu.data import annotations as anno_lib
 from eda_tpu.data.augment import MEAN_RGB, augment_scene, is_view_dependent
-from eda_tpu.data.class_config import instance_label_to_class18
+from eda_tpu.data.class_config import (
+    instance_label_in_class485,
+    instance_label_to_class18,
+    instance_label_to_class485,
+)
 from eda_tpu.data.positive_maps import MAX_TOKENS, build_positive_maps, not_mentioned_suffix
 from eda_tpu.data.scannet import Scan, load_packed_scans
 from eda_tpu.models.tokenizer import make_tokenizer
@@ -36,8 +40,8 @@ MAX_NUM_OBJ = 132  # joint_det_dataset.py:45
 
 def _corrupt_detections(rng, boxes: np.ndarray, classes: np.ndarray):
     """--augment_det box corruption: with p=0.3 a detected box is replaced by
-    a random box in the scene extent and a random class
-    (``joint_det_dataset.py:837-849``)."""
+    a random box in the scene extent and a random 485-way class
+    (``joint_det_dataset.py:837-849``: randint over len(DC.nyu40ids)=485)."""
     if not len(boxes):
         return boxes, classes
     lo, hi = boxes.min(0), boxes.max(0)
@@ -45,7 +49,7 @@ def _corrupt_detections(rng, boxes: np.ndarray, classes: np.ndarray):
     corrupt = rng.random(len(boxes)) > 0.7
     out_boxes = np.where(corrupt[:, None], rand_box, boxes)
     out_classes = np.where(
-        corrupt, rng.integers(0, 18, len(classes)), classes
+        corrupt, rng.integers(0, 485, len(classes)), classes
     ).astype(classes.dtype)
     return out_boxes, out_classes
 
@@ -147,6 +151,20 @@ class GroundingDataset:
     def __len__(self) -> int:
         return len(self.annos)
 
+    def _cls_results(self) -> dict:
+        """Per-scan predicted object classes for --butd_cls
+        (``data/cls_results.json``, joint_det_dataset.py:114-116,960-963).
+        Empty dict when the file is absent (GT classes are used instead)."""
+        if not hasattr(self, "_cls_results_cache"):
+            self._cls_results_cache = {}
+            path = osp.join(self.detected_dir or "", "..", "cls_results.json")
+            if self.detected_dir and osp.exists(path):
+                import json
+
+                with open(path) as f:
+                    self._cls_results_cache = json.load(f)
+        return self._cls_results_cache
+
     def _load_multiview(self, scan_id: str) -> np.ndarray:
         """128-d multiview image features per point from the ScanNet
         ``enet_feats_maxpool.hdf5`` store (``joint_det_dataset.py:411-418``)."""
@@ -180,8 +198,10 @@ class GroundingDataset:
             [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
             1,
         )
+        # 485-way ranks: the ids key the class-embedding table rows
+        # (joint_det_dataset.py:807-809 -> bdetr.py:239)
         classes = np.array(
-            [instance_label_to_class18(str(c)) for c in d["class"]], np.int32
+            [instance_label_to_class485(str(c)) for c in d["class"]], np.int32
         )
         logits = np.asarray(d["logits"], np.float32) if "logits" in d else None
         return boxes, classes, logits
@@ -213,32 +233,56 @@ class GroundingDataset:
         for slot, o in enumerate(obj_idxs):
             point_instance[scan.three_d_objects[o]["points"]] = slot
 
-        # scene objects (all kept): boxes + 18-way classes
-        scene_objs = list(range(min(len(scan.three_d_objects), MAX_NUM_OBJ)))
-        scene_boxes = np.stack(
-            [scan.get_object_bbox(o) for o in scene_objs]
-        ) if scene_objs else np.zeros((0, 6), np.float32)
+        # augment the CLOUD first; all object boxes are then recomputed from
+        # the augmented points exactly like the reference, whose
+        # get_object_bbox reads the augmented scan.pc
+        # (joint_det_dataset.py:508, 703-705, visual_data_handlers.py:246-259)
+        # — tight boxes, not corner-transformed AABBs.
+        aug = None
+        if self.augment:
+            rotate = not is_view_dependent(anno["utterance"])
+            xyz, color, _, aug = augment_scene(
+                rng, xyz, color, np.zeros((0, 6), np.float32), rotate
+            )
+
+        def obj_box(o: int) -> np.ndarray:
+            pts = xyz[scan.three_d_objects[o]["points"]]
+            mx, mn = pts.max(0), pts.min(0)
+            return np.concatenate([(mx + mn) / 2.0, mx - mn])
+
+        # scene objects: the reference keeps objects whose label is in the
+        # 485-class vocabulary and ids them with DC(485) ranks — the rows of
+        # the butd class-embedding table (joint_det_dataset.py:889-900)
+        scene_objs = [
+            o
+            for o in range(min(len(scan.three_d_objects), MAX_NUM_OBJ))
+            if instance_label_in_class485(
+                scan.three_d_objects[o]["instance_label"]
+            )
+        ]
+        scene_boxes = (
+            np.stack([obj_box(o) for o in scene_objs]).astype(np.float32)
+            if scene_objs
+            else np.zeros((0, 6), np.float32)
+        )
         scene_classes = np.array(
             [
-                instance_label_to_class18(scan.three_d_objects[o]["instance_label"])
+                instance_label_to_class485(
+                    scan.three_d_objects[o]["instance_label"]
+                )
                 for o in scene_objs
             ],
             np.int32,
         )
 
-        gt_boxes = np.stack([scan.get_object_bbox(o) for o in obj_idxs])
-
-        aug = None
+        gt_boxes = np.stack([obj_box(o) for o in obj_idxs])
         if self.augment:
-            rotate = not is_view_dependent(anno["utterance"])
-            all_boxes = np.concatenate([gt_boxes, scene_boxes], 0)
-            xyz, color, all_boxes, aug = augment_scene(
-                rng, xyz, color, all_boxes, rotate
-            )
-            gt_boxes = all_boxes[: len(obj_idxs)]
-            scene_boxes = all_boxes[len(obj_idxs):]
-            # box jitter (joint_det_dataset.py:709-710)
+            # box jitter: GT (joint_det_dataset.py:709-710) AND scene boxes
+            # (:748-749)
             gt_boxes = gt_boxes * (0.95 + 0.1 * rng.random(gt_boxes.shape))
+            scene_boxes = scene_boxes * (
+                0.95 + 0.1 * rng.random(scene_boxes.shape)
+            ).astype(np.float32)
 
         # text
         caption = not_mentioned_suffix(anno["utterance"])
@@ -336,6 +380,15 @@ class GroundingDataset:
                 det_boxes[:n] = scene_boxes
                 det_mask[:n] = True
                 det_cls[:n] = scene_classes
+                if self.butd_cls and anno["scan_id"] in self._cls_results():
+                    # butd_cls replaces GT classes with the per-scan
+                    # PREDICTED classes from cls_results.json
+                    # (joint_det_dataset.py:960-963)
+                    cls = np.asarray(
+                        self._cls_results()[anno["scan_id"]], np.int32
+                    )
+                    cls = cls[cls > -1]
+                    det_cls[: min(n, len(cls))] = cls[:n]
                 # det_logits stay zero: the reference's oracle substitution
                 # replaces boxes/classes only and leaves all_detected_logits
                 # as zeros (joint_det_dataset.py:951-963)

@@ -14,7 +14,14 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from eda_tpu.data.class_config import instance_label_to_class18
+from eda_tpu.data.class_config import (
+    dc485,
+    instance_label_in_class485,
+    instance_label_to_class18,
+    instance_label_to_class485,
+    raw_to_nyu40,
+    NYU40_IDS_18,
+)
 from eda_tpu.data.dataset import MAX_NUM_OBJ
 from eda_tpu.data.positive_maps import MAX_TOKENS, spans_to_map
 from eda_tpu.data.presort import morton_sort
@@ -28,6 +35,22 @@ PROMPT_NAMES = [
     "bookshelf", "picture", "counter", "desk", "curtain", "refrigerator",
     "shower curtain", "toilet", "sink", "bathtub", "other furniture",
 ]
+
+
+def _split_file_order(split: str):
+    """scan ids in scannetv2_{split}.txt order (the reference's scan list
+    ordering, joint_det_dataset.py:337-339); None when the file is absent."""
+    import os.path as osp
+
+    from eda_tpu.data.vocab import LABELS_TSV
+
+    path = osp.join(
+        osp.dirname(LABELS_TSV), f"scannetv2_{'train' if split == 'train' else 'val'}.txt"
+    )
+    if not osp.exists(path):
+        return None
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
 
 
 class DetectionPromptDataset:
@@ -45,14 +68,26 @@ class DetectionPromptDataset:
         vocab_size: int = 50265,
         seed: int = 0,
     ):
+        # keep scans with >= 1 object in the 485-class vocabulary
+        # (load_scannet_annos, joint_det_dataset.py:346-354), ordered by the
+        # split file like the reference's scan list; the reference then drops
+        # train annos 965 and 977 by index (:370-374)
         self.scan_ids = [
             sid
             for sid, scan in scans.items()
             if any(
-                instance_label_to_class18(o["instance_label"]) < 18
+                instance_label_in_class485(o["instance_label"])
                 for o in scan.three_d_objects
             )
         ]
+        split_order = _split_file_order(split)
+        if split_order:
+            order = {s: i for i, s in enumerate(split_order)}
+            self.scan_ids.sort(key=lambda s: order.get(s, len(order)))
+        if split == "train":
+            self.scan_ids = [
+                s for i, s in enumerate(self.scan_ids) if i not in (965, 977)
+            ]
         self.scans = scans
         self.split = split
         self.use_color = use_color
@@ -68,49 +103,90 @@ class DetectionPromptDataset:
         rng = np.random.default_rng((self.seed * 7_777_777 + idx) % (2**31))
         scan = self.scans[self.scan_ids[idx % len(self.scan_ids)]]
 
-        obj_classes = [
-            instance_label_to_class18(o["instance_label"])
-            for o in scan.three_d_objects
-        ]
-        present = sorted({c for c in obj_classes if c < 18})
+        labels = [o["instance_label"] for o in scan.three_d_objects]
         random_utt = self.split == "train" and rng.random() > 0.5
         if random_utt:
-            sampled = list(present)
-            rng.shuffle(sampled)
-            sampled = sorted(sampled[:10])
-            names = [PROMPT_NAMES[c] for c in sampled]
-            # mix in absent-class negatives (joint_det_dataset.py:399-406)
-            negatives = [
-                PROMPT_NAMES[c] for c in range(18) if c not in sampled
-            ][: max(0, 10 - len(names))]
-            names = sorted(set(names + negatives))
+            # 485-vocabulary prompt: <=10 present class names + exactly 10
+            # unique negative names, sorted then shuffled
+            # (_sample_classes / _create_scannet_utterance,
+            # joint_det_dataset.py:372-409)
+            cfg = dc485()
+            present = sorted(
+                {
+                    instance_label_to_class485(l)
+                    for l in labels
+                    if instance_label_in_class485(l)
+                }
+            )
+            if len(present) > 10:
+                present = sorted(rng.choice(present, 10, replace=False))
+            sampled_names = [cfg.class2type[c] for c in present]
+            rng.shuffle(sampled_names)
+            neg_names: List[str] = []
+            while len(neg_names) < 10:
+                name = cfg.class2type[int(rng.integers(0, cfg.num_class))]
+                if name not in neg_names and name not in sampled_names:
+                    neg_names.append(name)
+            names = sorted(set(sampled_names + neg_names))
             rng.shuffle(names)
-            prompt_classes = sampled
+            # targets: objects whose 485-class name was sampled
+            # (joint_det_dataset.py:882-893)
+            target_objs = [
+                i
+                for i, l in enumerate(labels)
+                if instance_label_in_class485(l)
+                and cfg.class2type[instance_label_to_class485(l)]
+                in sampled_names
+            ][:MAX_NUM_OBJ]
+            obj_names = {
+                i: cfg.class2type[instance_label_to_class485(labels[i])]
+                for i in target_objs
+            }
         else:
+            # fixed 18-class detection prompt; targets are objects whose
+            # NYU40 id is IN the 18-class benchmark (strict membership, not
+            # the else-17 fallback: joint_det_dataset.py:876-881)
             names = list(PROMPT_NAMES)
-            prompt_classes = present
+            target_objs = [
+                i
+                for i, l in enumerate(labels)
+                if raw_to_nyu40().get(l) in set(NYU40_IDS_18)
+            ][:MAX_NUM_OBJ]
+            obj_names = {
+                i: PROMPT_NAMES[instance_label_to_class18(labels[i])]
+                for i in target_objs
+            }
         utterance = " . ".join(names)
-
-        # targets: all objects of the prompted classes, in scene order
-        target_objs = [
-            i
-            for i, c in enumerate(obj_classes)
-            if c in prompt_classes and PROMPT_NAMES[c] in names
-        ][:MAX_NUM_OBJ]
 
         xyz = scan.pc.copy()
         color = scan.color - MEAN_RGB if self.use_color else None
-        gt_boxes = (
-            np.stack([scan.get_object_bbox(o) for o in target_objs])
-            if target_objs
-            else np.zeros((0, 6), np.float32)
-        )
         point_instance = -np.ones(len(xyz), np.int32)
         for slot, o in enumerate(target_objs):
             point_instance[scan.three_d_objects[o]["points"]] = slot
 
+        if self.augment:
+            # scannet prompts always rotate (rotate_else,
+            # joint_det_dataset.py:500-505)
+            xyz, color, _, _ = augment_scene(
+                rng, xyz, color, np.zeros((0, 6), np.float32), True
+            )
+
+        # boxes recomputed from the (augmented) points, like the reference's
+        # get_object_bbox over the augmented scan.pc
+        def obj_box(o: int) -> np.ndarray:
+            pts = xyz[scan.three_d_objects[o]["points"]]
+            mx, mn = pts.max(0), pts.min(0)
+            return np.concatenate([(mx + mn) / 2.0, mx - mn])
+
+        gt_boxes = (
+            np.stack([obj_box(o) for o in target_objs]).astype(np.float32)
+            if target_objs
+            else np.zeros((0, 6), np.float32)
+        )
         if self.augment and len(gt_boxes):
-            xyz, color, gt_boxes, _ = augment_scene(rng, xyz, color, gt_boxes, True)
+            gt_boxes = gt_boxes * (
+                0.95 + 0.1 * rng.random(gt_boxes.shape)
+            ).astype(np.float32)
 
         caption = utterance + " . not mentioned"
         tok = self.tokenizer.encode_batch([caption], max_len=self.text_len)
@@ -130,7 +206,7 @@ class DetectionPromptDataset:
         positive_map = np.zeros((G, MAX_TOKENS), np.float32)
         padded = " " + caption + " "
         for slot, o in enumerate(target_objs):
-            name = PROMPT_NAMES[obj_classes[o]]
+            name = obj_names[o]
             start = padded.find(" " + name + " ")
             if start < 0:
                 continue
@@ -152,17 +228,20 @@ class DetectionPromptDataset:
             "text_mask": tok.attention_mask[0],
         }
         if butd:
-            # same fallback as GroundingDataset: scene objects as detections
+            # same fallback as GroundingDataset: kept scene objects as
+            # detections, 485-way class ranks (joint_det_dataset.py:889-900)
             det_boxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
             det_mask = np.zeros((MAX_NUM_OBJ,), bool)
             det_cls = np.zeros((MAX_NUM_OBJ,), np.int32)
-            scene = [
-                (i, c) for i, c in enumerate(obj_classes[:MAX_NUM_OBJ])
+            kept = [
+                i
+                for i in range(min(len(labels), MAX_NUM_OBJ))
+                if instance_label_in_class485(labels[i])
             ]
-            for slot, (i, c) in enumerate(scene):
-                det_boxes[slot] = scan.get_object_bbox(i)
+            for slot, i in enumerate(kept):
+                det_boxes[slot] = obj_box(i)
                 det_mask[slot] = True
-                det_cls[slot] = c
+                det_cls[slot] = instance_label_to_class485(labels[i])
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask

@@ -28,11 +28,15 @@ def _char_to_token_with_fallback(batch: TokenBatch, b: int, char_idx: int, probe
 
 
 def spans_to_map(batch: TokenBatch, b: int, spans: Sequence[Span]) -> np.ndarray:
-    """One row-normalized (MAX_TOKENS,) map marking tokens covered by spans.
+    """Sum of per-span row-normalized (MAX_TOKENS,) maps.
 
-    Follows joint_det_dataset.py:1150-1177: begin probes +1, +2; end probes
-    -1, -2 (reference probes -2, -3 on the exclusive end; ours is inclusive
-    end-1); rows with no resolvable span stay zero.
+    Follows joint_det_dataset.py:1150-1177 exactly: each span becomes its
+    own map row normalized to mass 1 (``row / (row.sum() + 1e-12)``), and
+    the component map is the SUM of those rows
+    (``gt_map.sum(axis=0)``, :644-648) — so a component with k resolvable
+    spans has total mass k, and tokens of shorter spans weigh more. Begin
+    probes +1, +2; end probes -1, -2 on the inclusive end-1 (the reference
+    probes -2, -3 on the exclusive end). Unresolvable spans contribute zero.
     """
     out = np.zeros((MAX_TOKENS,), np.float32)
     for start, end in spans:
@@ -42,10 +46,9 @@ def spans_to_map(batch: TokenBatch, b: int, spans: Sequence[Span]) -> np.ndarray
         end_tok = _char_to_token_with_fallback(batch, b, end - 1, (0, -1, -2))
         if beg_tok is None or end_tok is None or end_tok < beg_tok:
             continue
-        out[beg_tok : end_tok + 1] = 1.0
-    total = out.sum()
-    if total > 0:
-        out /= total
+        row = np.zeros((MAX_TOKENS,), np.float32)
+        row[beg_tok : end_tok + 1] = 1.0
+        out += row / (row.sum() + 1e-12)
     return out
 
 

@@ -23,11 +23,13 @@ def generate(params=None, class_names=None, hidden: int = 768) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    from eda_tpu.data.class_config import full_class_list
+    from eda_tpu.data.class_config import class485_names
     from eda_tpu.models.roberta import RobertaEncoder
     from eda_tpu.models.tokenizer import make_tokenizer
 
-    class_names = class_names or full_class_list()
+    # the curated 485-name vocabulary in class-rank order — rows must line
+    # up with det_class_ids (DC.class2type order, data/gen_class_embeddings.py:14)
+    class_names = class_names or class485_names()
     tokenizer = make_tokenizer()
     encoder = RobertaEncoder(hidden=hidden)
 

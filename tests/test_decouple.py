@@ -415,11 +415,15 @@ def test_positive_maps_align_with_tokens():
     s, e = batch.offsets[0][mi]
     assert caption[s:e] == "brown"
 
-    # relations map covers 'next to' (2 tokens, each weight 0.5)
+    # relations map covers 'next to'; each SPAN is normalized to mass 1 and
+    # spans are summed (reference get_positive_map + .sum(axis=0),
+    # joint_det_dataset.py:1150-1177,644-648), so a one-span 2-token phrase
+    # gives 0.5 each and two single-token spans give 1.0 each
     rel = maps["relations"]
     marked = [batch.offsets[0][i] for i in np.nonzero(rel)[0]]
     assert [caption[s:e] for s, e in marked] == ["next", "to"]
-    np.testing.assert_allclose(rel[rel > 0], 0.5)
+    n_spans = len(decoupled_spans(caption)["relations"])
+    assert rel.sum() == pytest.approx(n_spans)
 
 
 def test_spans_to_map_fallback_probing():

@@ -1,0 +1,358 @@
+"""Differential parity tests for the data pipeline against the ACTUAL
+reference ``src/joint_det_dataset.py`` (loaded with wandb/sng_parser/plyfile
+stubs — none of its module-level code needs them on this image).
+
+Oracles exercised here:
+
+* ``get_positive_map`` (:1150-1177) — char-span -> token map with the
+  +-1/+-2 probing and the per-span normalize-then-sum contract;
+* ``Joint3DDataset._get_token_positive_map_by_parse`` (:579-680) — the full
+  6-map assembly from decoupled graph nodes, incl. the SR3D auxi row;
+* ``Joint3DDataset._get_token_positive_map`` (:520-573) — the scannet
+  detection-prompt span search;
+* ``rot_x/rot_y/rot_z`` + ``box2points``/``points2box`` (:1180-1241) and
+  ``Joint3DDataset._augment`` (:421-466) — geometry parity on recorded
+  parameters;
+* ``ScannetDatasetConfig(485)`` (data/model_util_scannet.py:28-33) — the
+  curated class vocabulary baked into ``eda_tpu/data/meta/class485_vocab.tsv``.
+
+Both sides tokenize through OUR deterministic tokenizer (the reference's
+char_to_token contract is the only thing get_positive_map needs), so these
+tests pin the map-construction algebra, not RoBERTa BPE (that parity lives
+in test_roberta_hf_parity.py).
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_jd():
+    for name in ("wandb", "sng_parser"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "sng_parser":
+                mod.parse = lambda *a, **k: ({}, [])
+            sys.modules[name] = mod
+    try:
+        import plyfile  # noqa: F401
+    except ImportError:
+        pf = types.ModuleType("plyfile")
+        pf.PlyData = object
+        pf.PlyElement = object
+        sys.modules["plyfile"] = pf
+    for pkg_name, path in (("data", f"{REF}/data"), ("src", f"{REF}/src")):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [path]
+            sys.modules[pkg_name] = pkg
+    return importlib.import_module("src.joint_det_dataset")
+
+
+class _Tokenized:
+    """HF BatchEncoding stand-in over our TokenBatch (single caption)."""
+
+    def __init__(self, batch):
+        self._batch = batch
+
+    def char_to_token(self, idx):
+        return self._batch.char_to_token(0, int(idx))
+
+
+class _Tokenizer:
+    """RobertaTokenizerFast stand-in: batch_encode_plus -> char_to_token."""
+
+    def __init__(self, tok, max_len=256):
+        self._tok = tok
+        self._max_len = max_len
+
+    def batch_encode_plus(self, texts, **_kw):
+        return _Tokenized(self._tok.encode_batch(texts, max_len=self._max_len))
+
+
+def _our_tok():
+    from eda_tpu.models.tokenizer import SimpleTokenizer
+
+    return SimpleTokenizer(4096)
+
+
+WORDS = (
+    "the a brown wooden chair table desk window door shelf lamp trash can "
+    "next to left of right behind under near above between it this that"
+).split()
+
+
+def _random_caption(rng, n=12):
+    return " ".join(WORDS[i] for i in rng.integers(0, len(WORDS), n))
+
+
+def _random_spans(rng, caption, k):
+    """Word-aligned spans plus deliberately misaligned ones (probing path)."""
+    starts = [0] + [i + 1 for i, ch in enumerate(caption) if ch == " "]
+    spans = []
+    for _ in range(k):
+        w = int(rng.integers(0, len(starts)))
+        s = starts[w]
+        e = caption.find(" ", s)
+        e = len(caption) if e < 0 else e
+        jitter = int(rng.integers(-1, 2))
+        spans.append((max(0, s + jitter), min(len(caption), e + jitter)))
+    return spans
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_get_positive_map_parity(ref_jd, seed):
+    """spans_to_map == reference get_positive_map(...).sum(axis=0) on random
+    word-aligned AND off-by-one spans (probing fallbacks), via the same
+    char_to_token table."""
+    from eda_tpu.data.positive_maps import spans_to_map
+
+    rng = np.random.default_rng(seed)
+    tok = _our_tok()
+    for _ in range(10):
+        caption = _random_caption(rng)
+        batch = tok.encode_batch([caption], max_len=256)
+        spans = _random_spans(rng, caption, int(rng.integers(1, 5)))
+        ref_map = ref_jd.get_positive_map(
+            _Tokenized(batch), np.asarray(spans, float)
+        ).sum(axis=0)
+        ours = spans_to_map(batch, 0, spans)
+        np.testing.assert_allclose(ours, ref_map, atol=1e-6)
+
+
+def _graph_node_from_decoupled(d):
+    nodes = [
+        {
+            "node_id": 0,
+            "node_type": "Object",
+            "target_char_span": [list(s) for s in d["main"]],
+            "mod_char_span": [list(s) for s in d["modifiers"]],
+            "pron_char_span": [list(s) for s in d["pronouns"]],
+            "rel_char_span": [list(s) for s in d["relations"]],
+        }
+    ]
+    if d["others"]:
+        nodes.append(
+            {
+                "node_id": 1,
+                "node_type": "Object",
+                "target_char_span": [list(s) for s in d["others"]],
+            }
+        )
+    return nodes
+
+
+CAPTIONS = [
+    "the brown chair next to the table",
+    "it is a tall wooden shelf behind the desk near the window",
+    "the trash can between the door and the lamp",
+    "this is the second chair from the left under the window",
+]
+
+
+@pytest.mark.parametrize("dataset", ["sr3d", "scanrefer"])
+@pytest.mark.parametrize("caption", CAPTIONS)
+def test_token_positive_map_by_parse_parity(ref_jd, dataset, caption):
+    """Full 6-map assembly matches _get_token_positive_map_by_parse on the
+    same decoupled spans: row 0 of every component map, plus the SR3D rule
+    that puts the auxi map in row 1 of the target map."""
+    from eda_tpu.data.decouple import decoupled_spans
+    from eda_tpu.data.positive_maps import build_positive_maps
+
+    tok = _our_tok()
+    d = decoupled_spans(caption)
+    anno = {
+        "utterance": caption,
+        "dataset": dataset,
+        "graph_node": _graph_node_from_decoupled(d),
+        "graph_edge": [],
+        "auxi_entity": {"target_char_span": [list(s) for s in d["auxi"]]}
+        if d["auxi"]
+        else {"target_char_span": []},
+    }
+    stub = types.SimpleNamespace(tokenizer=_Tokenizer(tok))
+    auxi_box = np.zeros(6) if d["auxi"] else None
+    (
+        _tspan, ref_target, ref_modify, ref_pron, ref_other, ref_auxi, ref_rel
+    ) = ref_jd.Joint3DDataset._get_token_positive_map_by_parse(
+        stub, anno, auxi_box
+    )
+
+    batch = tok.encode_batch([caption], max_len=256)
+    ours = build_positive_maps(batch, 0, d)
+    np.testing.assert_allclose(ours["main"], ref_target[0], atol=1e-6)
+    np.testing.assert_allclose(ours["modifiers"], ref_modify[0], atol=1e-6)
+    np.testing.assert_allclose(ours["pronouns"], ref_pron[0], atol=1e-6)
+    np.testing.assert_allclose(ours["others"], ref_other[0], atol=1e-6)
+    np.testing.assert_allclose(ours["relations"], ref_rel[0], atol=1e-6)
+    np.testing.assert_allclose(ours["auxi"], ref_auxi[0], atol=1e-6)
+    if dataset == "sr3d" and d["auxi"]:
+        np.testing.assert_allclose(ref_target[1], ours["auxi"], atol=1e-6)
+    else:
+        assert ref_target[1].sum() == 0
+
+
+def test_scannet_prompt_span_search_parity(ref_jd):
+    """The detection-prompt positive map (class-name span search + map)
+    matches _get_token_positive_map on a ' . '-joined prompt."""
+    from eda_tpu.data.positive_maps import spans_to_map
+
+    tok = _our_tok()
+    names = ["cabinet", "bed", "chair", "shower curtain", "other furniture"]
+    caption = " . ".join(names)
+    anno = {"utterance": caption, "target": list(names)}
+    stub = types.SimpleNamespace(
+        tokenizer=_Tokenizer(tok), detect_intermediate=False
+    )
+    tokens_positive, ref_map = ref_jd.Joint3DDataset._get_token_positive_map(
+        stub, anno
+    )[:2]
+
+    batch = tok.encode_batch([caption], max_len=256)
+    padded = " " + caption + " "
+    for row, name in enumerate(names):
+        start = padded.find(" " + name + " ")
+        assert start >= 0
+        span = (start, start + len(name))
+        assert tuple(tokens_positive[row]) == span
+        ours = spans_to_map(batch, 0, [span])
+        np.testing.assert_allclose(ours, ref_map[row], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Geometry: rotations, box corners, _augment
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_rot_parity(ref_jd, axis):
+    from eda_tpu.data.augment import _rot
+
+    rng = np.random.default_rng(axis)
+    pc = rng.normal(size=(40, 3))
+    theta = float(rng.uniform(-180, 180))
+    ref_fn = (ref_jd.rot_x, ref_jd.rot_y, ref_jd.rot_z)[axis]
+    np.testing.assert_allclose(
+        pc @ _rot(theta, axis).T, ref_fn(pc, theta), atol=1e-12
+    )
+
+
+def test_apply_boxes_matches_reference_pipeline_no_flip(ref_jd):
+    """apply_boxes == the reference's box2points -> rot_z/x/y -> shift ->
+    scale -> points2box chain when no flip fires (with a flip the reference
+    applies it AFTER the rotations, inconsistently with its own point cloud
+    — a documented deviation, see augment.Augmentation.apply_boxes)."""
+    from eda_tpu.data.augment import Augmentation, _rot
+
+    rng = np.random.default_rng(5)
+    boxes = np.concatenate(
+        [rng.uniform(-2, 2, (7, 3)), rng.uniform(0.2, 2.0, (7, 3))], -1
+    )
+    tz, tx, ty = rng.uniform(-90, 90), rng.uniform(-2.5, 2.5), rng.uniform(-2.5, 2.5)
+    shift = rng.random(3) - 0.5
+    scale = 0.98 + 0.04 * rng.random()
+
+    pts = ref_jd.box2points(boxes).reshape(-1, 3)
+    pts = ref_jd.rot_z(pts, tz)
+    pts = ref_jd.rot_x(pts, tx)
+    pts = ref_jd.rot_y(pts, ty)
+    pts += shift
+    pts *= scale
+    ref_boxes = ref_jd.points2box(pts.reshape(-1, 8, 3))
+
+    aug = Augmentation(
+        rotation=_rot(ty, 1) @ _rot(tx, 0) @ _rot(tz, 2),
+        flip_x=False,
+        flip_y=False,
+        shift=shift,
+        scale=scale,
+    )
+    np.testing.assert_allclose(aug.apply_boxes(boxes), ref_boxes, atol=1e-9)
+
+
+@pytest.mark.parametrize("rotate", [False, True])
+def test_augment_points_parity(ref_jd, rotate):
+    """apply_points reproduces the reference _augment's point transform
+    bit-for-bit given the parameters _augment actually sampled (flips ->
+    rotations -> +noise -> +shift -> *scale; the noise IS scaled)."""
+    from eda_tpu.data.augment import Augmentation, _rot
+
+    rng = np.random.default_rng(17)
+    pc = rng.normal(size=(100, 3))
+    stub = types.SimpleNamespace(mean_rgb=np.zeros(3))
+    np.random.seed(42 + rotate)
+    ref_pc, _color, aug_params = ref_jd.Joint3DDataset._augment(
+        stub, pc.copy(), None, rotate
+    )
+
+    aug = Augmentation(
+        rotation=_rot(aug_params["theta_y"], 1)
+        @ _rot(aug_params["theta_x"], 0)
+        @ _rot(float(aug_params["theta_z"]), 2),
+        flip_x=bool(aug_params.get("yz_flip", False)),
+        flip_y=bool(aug_params.get("xz_flip", False)),
+        shift=aug_params["shift"][0],
+        scale=aug_params["scale"],
+    )
+    ours = aug.apply_points(pc, noise=aug_params["noise"])
+    np.testing.assert_allclose(ours, ref_pc, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# 485-class vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_class485_vocab_matches_reference():
+    """class485_vocab.tsv == ScannetDatasetConfig(485): names per rank, TSV
+    ids, and the rank mapping used for det_class_ids."""
+    spec = importlib.util.spec_from_file_location(
+        "_ref_mus", f"{REF}/data/model_util_scannet.py"
+    )
+    mus = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_mus"] = mus
+    spec.loader.exec_module(mus)
+    DC = mus.ScannetDatasetConfig(485)
+
+    from eda_tpu.data.class_config import class485_names, dc485
+
+    cfg = dc485()
+    assert class485_names() == [DC.class2type[i] for i in range(485)]
+    assert cfg.nyu40ids == [int(i) for i in DC.nyu40ids]
+    assert cfg.nyu40id2class == {
+        int(k): v for k, v in DC.nyu40id2class.items()
+    }
+
+
+def test_instance_label_to_class485_matches_reference_lookup(ref_jd):
+    """instance_label_to_class485(label) == DC.nyu40id2class[label_map[label]]
+    for every TSV category in the 485 vocabulary (the exact composition the
+    reference applies to GroupFree classes, joint_det_dataset.py:807-809)."""
+    from eda_tpu.data.class_config import (
+        dc485,
+        instance_label_in_class485,
+        instance_label_to_class485,
+        raw_to_tsv_id,
+    )
+
+    cfg = dc485()
+    checked = 0
+    for label, tsv_id in raw_to_tsv_id().items():
+        if tsv_id in cfg.nyu40id2class:
+            assert instance_label_in_class485(label)
+            assert instance_label_to_class485(label) == cfg.nyu40id2class[tsv_id]
+            checked += 1
+        else:
+            assert not instance_label_in_class485(label)
+    assert checked >= 400

@@ -200,8 +200,10 @@ def test_groupfree_detected_boxes(fake_scan_dir, tmp_path, rng):
     np.testing.assert_allclose(
         ex["inputs"]["det_boxes"][0], [0.5, 0.5, 0.5, 1, 1, 1], atol=1e-6
     )
-    # chair -> class id 2 in the 18-class vocab
-    assert ex["inputs"]["det_class_ids"][0] == 2
+    # chair -> rank 1 in the 485-class vocab, the class-embedding row space
+    # (DC.nyu40id2class[label_map['chair']], joint_det_dataset.py:807-809)
+    assert ex["inputs"]["det_class_ids"][0] == 1
+    assert ex["inputs"]["det_class_ids"][1] == 3  # table
     # raw detector logits pass through, padded to the 485-class vocab
     # (reference all_detected_logits, joint_det_dataset.py:790,1030)
     assert ex["inputs"]["det_logits"].shape == (132, 485)
