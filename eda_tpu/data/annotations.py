@@ -119,28 +119,80 @@ def load_scanrefer(
     return _decouple(annos)
 
 
+def _meta_scan_set(name: str, split: str):
+    """ReferIt3D split scan lists (python list literals, the reference's
+    ``data/meta_data/{sr3d,nr3d}_{train,test}_scans.txt``); None if absent."""
+    from eda_tpu.data.vocab import LABELS_TSV
+
+    path = osp.join(osp.dirname(LABELS_TSV), f"{name}_{split}_scans.txt")
+    if not osp.exists(path):
+        return None
+    with open(path) as f:
+        return set(ast.literal_eval(f.read()))
+
+
+def _sr3d_rows(data_path: str, split: str, name: str):
+    """Yield CSV rows. Reference layout first — ONE ``ReferIt3D/{name}.csv``
+    for all splits, membership-filtered by the sr3d_{train,test}_scans list
+    ('val' maps to 'test', joint_det_dataset.py:160-165) — with a
+    pre-split ``refer_it_3d/{name}_{split}.csv`` fallback for fixtures."""
+    ref_csv = osp.join(data_path, "ReferIt3D", f"{name}.csv")
+    if osp.exists(ref_csv):
+        scans = _meta_scan_set(
+            "sr3d", "test" if split in ("val", "test") else "train"
+        )
+        with open(ref_csv, newline="") as f:
+            for row in csv.DictReader(f):
+                if scans is None or row["scan_id"] in scans:
+                    yield row
+        return
+    with open(
+        osp.join(data_path, "refer_it_3d", f"{name}_{split}.csv"), newline=""
+    ) as f:
+        yield from csv.DictReader(f)
+
+
 def load_sr3d(data_path: str, split: str, plus: bool = False) -> List[dict]:
     """SR3D / SR3D+ CSV annotations (``joint_det_dataset.py:158-189``)."""
     name = "sr3d+" if plus else "sr3d"
-    path = osp.join(data_path, "refer_it_3d", f"{name}_{split}.csv")
     annos = []
-    with open(path, newline="") as f:
-        for row in csv.DictReader(f):
-            if not bool(ast.literal_eval(row.get("mentions_target_class", "True"))):
-                continue
-            annos.append(
-                {
-                    "scan_id": row["scan_id"],
-                    "target_id": int(row["target_id"]),
-                    "distractor_ids": ast.literal_eval(row["distractor_ids"]),
-                    "utterance": row["utterance"],
-                    "target": row["instance_type"],
-                    "anchors": ast.literal_eval(row["anchors_types"]),
-                    "anchor_ids": ast.literal_eval(row["anchor_ids"]),
-                    "dataset": "sr3d",
-                }
-            )
+    for row in _sr3d_rows(data_path, split, name):
+        # string compare like the reference (:183) — the CSV holds
+        # True/False literals in assorted casings
+        if str(row.get("mentions_target_class", "True")).lower() != "true":
+            continue
+        annos.append(
+            {
+                "scan_id": row["scan_id"],
+                "target_id": int(row["target_id"]),
+                "distractor_ids": ast.literal_eval(row["distractor_ids"]),
+                "utterance": row["utterance"],
+                "target": row["instance_type"],
+                "anchors": ast.literal_eval(row["anchors_types"]),
+                "anchor_ids": ast.literal_eval(row["anchor_ids"]),
+                "dataset": name,
+            }
+        )
     return _decouple(annos)
+
+
+def _nr3d_rows(data_path: str, split: str):
+    """Reference layout (single ``ReferIt3D/nr3d.csv`` + nr3d scan lists)
+    with the pre-split fallback."""
+    ref_csv = osp.join(data_path, "ReferIt3D", "nr3d.csv")
+    if osp.exists(ref_csv):
+        scans = _meta_scan_set(
+            "nr3d", "test" if split in ("val", "test") else "train"
+        )
+        with open(ref_csv, newline="") as f:
+            for row in csv.DictReader(f):
+                if scans is None or row["scan_id"] in scans:
+                    yield row
+        return
+    with open(
+        osp.join(data_path, "refer_it_3d", f"nr3d_{split}.csv"), newline=""
+    ) as f:
+        yield from csv.DictReader(f)
 
 
 def load_nr3d(data_path: str, split: str) -> List[dict]:
@@ -151,25 +203,23 @@ def load_nr3d(data_path: str, split: str) -> List[dict]:
     are filled in later from the scans by fine-grained instance type
     (:226-235) — see :func:`compute_scanrefer_flags`.
     """
-    path = osp.join(data_path, "refer_it_3d", f"nr3d_{split}.csv")
     annos = []
-    with open(path, newline="") as f:
-        for row in csv.DictReader(f):
-            correct = str(row.get("correct_guess", "True")).lower() == "true"
-            if split in ("val", "test") and not correct:
-                continue
-            annos.append(
-                {
-                    "scan_id": row["scan_id"],
-                    "target_id": int(row["target_id"]),
-                    "distractor_ids": [],
-                    "utterance": row["utterance"],
-                    "target": row["instance_type"],
-                    "anchors": [],
-                    "anchor_ids": [],
-                    "dataset": "nr3d",
-                }
-            )
+    for row in _nr3d_rows(data_path, split):
+        correct = str(row.get("correct_guess", "True")).lower() == "true"
+        if split in ("val", "test") and not correct:
+            continue
+        annos.append(
+            {
+                "scan_id": row["scan_id"],
+                "target_id": int(row["target_id"]),
+                "distractor_ids": [],
+                "utterance": row["utterance"],
+                "target": row["instance_type"],
+                "anchors": [],
+                "anchor_ids": [],
+                "dataset": "nr3d",
+            }
+        )
     return _decouple(annos)
 
 

@@ -148,3 +148,28 @@ def instance_label_to_class18(label: str) -> int:
     at joint_det_dataset.py:302)."""
     nyu = raw_to_nyu40().get(label)
     return dc18().nyu40id2class.get(nyu, 17)
+
+
+# The reference DC18's DISPLAY names (model_util_scannet.py:22-26) — these
+# differ from the TSV's nyu40class strings ('couch' vs 'sofa',
+# 'refrigerator' vs 'refridgerator', 'other furniture' vs 'otherfurniture').
+TYPE2CLASS_18_NAMES: List[str] = [
+    "cabinet", "bed", "chair", "couch", "table", "door", "window",
+    "bookshelf", "picture", "counter", "desk", "curtain", "refrigerator",
+    "shower curtain", "toilet", "sink", "bathtub", "other furniture",
+]
+
+
+@functools.lru_cache(maxsize=1)
+def _type2class18_by_name() -> Dict[str, int]:
+    return {n: i for i, n in enumerate(TYPE2CLASS_18_NAMES)}
+
+
+def instance_label_to_scanrefer18(label: str) -> int:
+    """The ScanRefer distractor/unique class mapping: the reference keys
+    DC18.type2class by the TSV's nyu40class NAME
+    (``DC18.type2class.get(lbl, 17)``, joint_det_dataset.py:295-302), so
+    'sofa', 'refridgerator' and 'otherfurniture' objects land on class 17 —
+    deliberately different from the id-based instance_label_to_class18."""
+    name = raw_to_nyu40class().get(label)
+    return _type2class18_by_name().get(name, 17)

@@ -28,7 +28,6 @@ from eda_tpu.data import annotations as anno_lib
 from eda_tpu.data.augment import MEAN_RGB, augment_scene, is_view_dependent
 from eda_tpu.data.class_config import (
     instance_label_in_class485,
-    instance_label_to_class18,
     instance_label_to_class485,
 )
 from eda_tpu.data.positive_maps import MAX_TOKENS, build_positive_maps, not_mentioned_suffix
@@ -94,8 +93,13 @@ class GroundingDataset:
         self.text_len = text_len
         self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
         self.seed = seed
+        # the reference keys this pass by nyu40class NAME, not id — 'sofa' /
+        # 'refridgerator' / 'otherfurniture' objects count as class 17 for
+        # distractor/unique purposes (joint_det_dataset.py:295-302)
+        from eda_tpu.data.class_config import instance_label_to_scanrefer18
+
         anno_lib.compute_scanrefer_flags(
-            self.annos, self.scans, instance_label_to_class18
+            self.annos, self.scans, instance_label_to_scanrefer18
         )
 
     @classmethod
@@ -304,13 +308,35 @@ class GroundingDataset:
             out[row] = maps[key]
             return out
 
+        # auxi pseudo-box: the scene box of the auxiliary entity's class
+        # nearest the target (within sqrt(100) m), reference _get_auxi_boxes
+        # (joint_det_dataset.py:756-783). Row 1 of the target map gets the
+        # auxi token map ONLY when this resolves AND the dataset is sr3d
+        # (:676-677) — not sr3d+, and never as a main-map fallback.
+        auxi_box = None
+        lemma = anno.get("decoupled", {}).get("auxi_lemma", "")
+        if lemma and anno.get("dataset") != "scannet":
+            from eda_tpu.data.class_config import dc485, raw_to_tsv_id
+
+            cls_id = dc485().nyu40id2class.get(raw_to_tsv_id().get(lemma))
+            if cls_id is not None and len(gt_boxes):
+                best_d = 100.0  # the reference's dis_min threshold
+                for j, o in enumerate(scene_objs):
+                    if o == (obj_idxs[0] if obj_idxs else -1):
+                        continue
+                    if scene_classes[j] == cls_id:
+                        d = float(((gt_boxes[0, :3] - scene_boxes[j, :3]) ** 2).sum())
+                        if d < best_d:
+                            best_d = d
+                            auxi_box = scene_boxes[j]
+
         positive_map = tile("main")
-        if n_t > 1:
-            # anchors share the main map in detect_intermediate mode unless
-            # an auxi span exists (SR3D puts the auxi map in row 1,
-            # joint_det_dataset.py:676-677)
-            aux = maps["auxi"] if maps["auxi"].sum() > 0 else maps["main"]
-            positive_map[1] = aux
+        if (
+            n_t > 1
+            and auxi_box is not None
+            and anno.get("dataset") == "sr3d"
+        ):
+            positive_map[1] = maps["auxi"]
 
         # optional per-point extras (joint_det_dataset.py:481-490)
         extras = []

@@ -51,6 +51,9 @@ class Node:
     mod_char_span: List[Span] = dataclasses.field(default_factory=list)
     pron_char_span: List[Span] = dataclasses.field(default_factory=list)
     rel_char_span: List[Span] = dataclasses.field(default_factory=list)
+    # lemmatized head noun phrase ('trash can'), the reference's lemma_head
+    # (spacy_parser.py:91,116) — keys the 485-vocab lookup for auxi boxes
+    lemma_head: str = ""
 
 
 @dataclasses.dataclass
@@ -305,6 +308,7 @@ def parse(caption: str) -> ParseResult:
     main.target_char_span = [span(h) for h in main_chunk.head_idx]
     main.mod_char_span = [span(m) for m in main_chunk.mod_idx]
     main.rel_char_span = list(relations)
+    main.lemma_head = " ".join(vocab.lemma(toks[h].lower) for h in main_chunk.head_idx)
     nodes.append(main)
 
     ent_id = 0
@@ -331,6 +335,7 @@ def parse(caption: str) -> ParseResult:
         node = Node(ent_id, c.kind)
         node.target_char_span = [span(h) for h in c.head_idx]
         node.mod_char_span = [span(m) for m in c.mod_idx]
+        node.lemma_head = " ".join(vocab.lemma(toks[h].lower) for h in c.head_idx)
         nodes.append(node)
 
     # predicate attributes: [main | pron] COP (ADJ|NUM|CONJ)* -> mods of main
@@ -397,4 +402,5 @@ def decoupled_spans(caption: str) -> dict:
         "relations": list(main.rel_char_span) if main else [],
         "others": others,
         "auxi": list(auxi.target_char_span) if auxi else [],
+        "auxi_lemma": auxi.lemma_head if auxi else "",
     }

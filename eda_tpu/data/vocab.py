@@ -132,6 +132,17 @@ def _norm(word: str) -> str:
     return w
 
 
+def lemma(word: str) -> str:
+    """Best-effort noun lemma: the first singularization that is a known
+    vocabulary noun, else the lowercase word. Approximates spaCy's
+    ``token.lemma_`` for the ScanNet noun vocabulary (the reference's
+    ``lemma_head``, spacy_parser.py:91)."""
+    for cand in _candidates(word):
+        if cand in object_nouns():
+            return cand
+    return _norm(word)
+
+
 @functools.lru_cache(maxsize=1)
 def object_nouns() -> FrozenSet[str]:
     """Single-word object nouns: ScanNet categories + common extras."""

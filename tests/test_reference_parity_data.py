@@ -356,3 +356,209 @@ def test_instance_label_to_class485_matches_reference_lookup(ref_jd):
         else:
             assert not instance_label_in_class485(label)
     assert checked >= 400
+
+
+# ---------------------------------------------------------------------------
+# Annotation loaders (sr3d / nr3d / scanrefer)
+# ---------------------------------------------------------------------------
+
+
+def _fake_parse(caption):
+    """sng_parser stand-in: a valid main node so Scene_graph_parse never
+    prefixes the caption — the loader mechanics under test are the filters,
+    distractors, and unique flags, not the parse."""
+    return (
+        [
+            {
+                "node_id": 0,
+                "node_type": "Object",
+                "target_char_span": [[0, min(3, len(caption))]],
+                "mod_char_span": [],
+                "pron_char_span": [],
+                "rel_char_span": [],
+            }
+        ],
+        [],
+    )
+
+
+class _RefScan:
+    def __init__(self, labels):
+        self.three_d_objects = [{"instance_label": l} for l in labels]
+
+    def get_object_instance_label(self, ind):
+        return self.three_d_objects[ind]["instance_label"]
+
+
+class _OurScan:
+    """GroundingDataset-shaped scan view over the same objects."""
+
+    def __init__(self, labels):
+        self.three_d_objects = [
+            {"object_id": i, "instance_label": l} for i, l in enumerate(labels)
+        ]
+
+    def object_by_id(self, object_id):
+        return object_id if object_id < len(self.three_d_objects) else None
+
+
+# 'sofa' exercises the name-keyed quirk: nyu40class 'sofa' is not a
+# DC18.type2class key ('couch' is), so sofas count as class 17
+SCENE_LABELS = {
+    "scene0000_00": ["chair", "chair", "sofa", "table", "sofa"],
+    "scene0000_01": ["table", "chair", "trash can"],
+}
+
+
+def _write_loader_fixtures(tmp_path):
+    import csv as _csv
+    import json as _json
+
+    rid = tmp_path / "ReferIt3D"
+    rid.mkdir()
+    sr3d_cols = [
+        "scan_id", "target_id", "distractor_ids", "utterance",
+        "instance_type", "anchors_types", "anchor_ids",
+        "mentions_target_class",
+    ]
+    rows = [
+        ["scene0000_00", "1", "[0]", "the chair near the sofa", "chair",
+         "['sofa']", "[2]", "True"],
+        ["scene0000_00", "2", "[4]", "the sofa by the table", "sofa",
+         "['table']", "[3]", "true"],
+        ["scene0000_00", "3", "[]", "ignore me", "table", "[]", "[]",
+         "False"],
+        # not in sr3d_train_scans.txt -> filtered out by scan membership
+        ["scene9999_00", "0", "[]", "the ghost chair", "chair", "[]", "[]",
+         "True"],
+    ]
+    with open(rid / "sr3d.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(sr3d_cols)
+        w.writerows(rows)
+
+    nr3d_cols = ["scan_id", "target_id", "instance_type", "utterance",
+                 "correct_guess"]
+    nrows = [
+        ["scene0000_00", "0", "chair", "the chair under the table", "True"],
+        ["scene0000_00", "2", "sofa", "the sofa near the wall", "False"],
+        ["scene9999_00", "0", "chair", "chair not in nr3d train scans",
+         "True"],
+    ]
+    with open(rid / "nr3d.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(nr3d_cols)
+        w.writerows(nrows)
+
+    sr = tmp_path / "ScanRefer"
+    sr.mkdir()
+    (sr / "ScanRefer_filtered_train.txt").write_text(
+        "scene0000_00\nscene0000_01\n"
+    )
+    annos = [
+        {"scene_id": "scene0000_00", "object_id": "2", "ann_id": "0",
+         "token": ["the", "sofa", "near", "the", "table"],
+         "object_name": "sofa"},
+        {"scene_id": "scene0000_00", "object_id": "4", "ann_id": "1",
+         "token": ["the", "other", "sofa"], "object_name": "sofa"},
+        {"scene_id": "scene0000_01", "object_id": "2", "ann_id": "0",
+         "token": ["the", "trash", "can"], "object_name": "trash_can"},
+        {"scene_id": "scene1111_11", "object_id": "0", "ann_id": "0",
+         "token": ["not", "in", "txt"], "object_name": "chair"},
+    ]
+    (sr / "ScanRefer_filtered_train.json").write_text(_json.dumps(annos))
+
+
+def _ref_loader_stub(ref_jd, tmp_path, split="train"):
+    import csv as _csv
+
+    label_mapclass = {}
+    with open(f"{REF}/data/meta_data/scannetv2-labels.combined.tsv") as f:
+        for row in _csv.DictReader(f, delimiter="\t"):
+            label_mapclass[row["raw_category"]] = row["nyu40class"]
+    stub = types.SimpleNamespace(
+        split=split,
+        data_path=str(tmp_path) + "/",
+        wo_obj_name="None",
+        overfit=False,
+        scans={k: _RefScan(v) for k, v in SCENE_LABELS.items()},
+        label_mapclass=label_mapclass,
+    )
+    return stub
+
+
+_LOADER_KEYS = (
+    "scan_id", "target_id", "distractor_ids", "target", "anchors",
+    "anchor_ids", "utterance",
+)
+
+
+def _loader_view(annos, keys=_LOADER_KEYS):
+    return [{k: a[k] for k in keys if k in a} for a in annos]
+
+
+def test_sr3d_loader_parity(ref_jd, tmp_path, monkeypatch):
+    """Row filters (scan membership via sr3d_train_scans.txt,
+    mentions_target_class string compare) and every anno field match
+    load_sr3d_annos (joint_det_dataset.py:158-189)."""
+    from eda_tpu.data import annotations as anno_lib
+
+    _write_loader_fixtures(tmp_path)
+    sys.modules["sng_parser"].parse = _fake_parse
+    monkeypatch.chdir(REF)  # reference reads data/meta_data/* relative paths
+    ref_annos = ref_jd.Joint3DDataset.load_sr3d_annos(
+        _ref_loader_stub(ref_jd, tmp_path)
+    )
+    ours = anno_lib.load_sr3d(str(tmp_path), "train")
+    assert _loader_view(ours) == _loader_view(ref_annos)
+    assert [a["dataset"] for a in ours] == ["sr3d", "sr3d"]
+
+
+def test_nr3d_loader_parity(ref_jd, tmp_path, monkeypatch):
+    """Scan membership + correct_guess semantics + fine-grained distractors
+    match load_nr3d_annos (joint_det_dataset.py:191-239) for train (keeps
+    wrong guesses) and val (drops them, maps to the test scan list)."""
+    from eda_tpu.data import annotations as anno_lib
+    from eda_tpu.data.class_config import instance_label_to_scanrefer18
+    from eda_tpu.data.dataset import GroundingDataset  # noqa: F401
+
+    _write_loader_fixtures(tmp_path)
+    sys.modules["sng_parser"].parse = _fake_parse
+    monkeypatch.chdir(REF)
+    stub = _ref_loader_stub(ref_jd, tmp_path)
+    ref_annos = ref_jd.Joint3DDataset.load_nr3d_annos(stub)
+
+    ours = anno_lib.load_nr3d(str(tmp_path), "train")
+    scans = {k: _OurScan(v) for k, v in SCENE_LABELS.items()}
+    anno_lib.compute_scanrefer_flags(
+        ours, scans, instance_label_to_scanrefer18
+    )
+    assert _loader_view(ours) == _loader_view(ref_annos)
+    # train keeps the correct_guess=False row, drops out-of-list scans
+    assert len(ours) == 2
+
+
+def test_scanrefer_loader_parity(ref_jd, tmp_path, monkeypatch):
+    """ScanRefer JSON load + the NAME-keyed 18-class distractor/unique pass
+    (both sofas are class 17, so they are mutual distractors and non-unique;
+    joint_det_dataset.py:243-330)."""
+    from eda_tpu.data import annotations as anno_lib
+    from eda_tpu.data.class_config import instance_label_to_scanrefer18
+
+    _write_loader_fixtures(tmp_path)
+    sys.modules["sng_parser"].parse = _fake_parse
+    monkeypatch.chdir(REF)
+    stub = _ref_loader_stub(ref_jd, tmp_path)
+    ref_annos = ref_jd.Joint3DDataset.load_scanrefer_annos(stub)
+
+    ours = anno_lib.load_scanrefer(str(tmp_path), "train")
+    scans = {k: _OurScan(v) for k, v in SCENE_LABELS.items()}
+    anno_lib.compute_scanrefer_flags(
+        ours, scans, instance_label_to_scanrefer18
+    )
+    assert _loader_view(ours) == _loader_view(ref_annos)
+    assert [a["unique"] for a in ours] == [a["unique"] for a in ref_annos]
+    # the sofa pair: distractors of object 2 include 4 and vice versa
+    by_tid = {a["target_id"]: a for a in ours if a["scan_id"] == "scene0000_00"}
+    assert by_tid[2]["distractor_ids"] == [4]
+    assert by_tid[4]["distractor_ids"] == [2]
