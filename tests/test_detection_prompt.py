@@ -142,3 +142,34 @@ def test_det_eval_valid_mask_drops_padded_rows(rng):
     )
     assert len(calc_all._gt) == 2
     assert len(calc_masked._gt) == 1
+
+
+def test_det_eval_gt_classes_match_dataset_targets(rng):
+    """The gt_classes reconstruction in train.evaluate_detection uses the
+    SAME strict 18-class membership as the dataset's fixed-prompt target
+    selection (joint_det_dataset.py:876-881): a 'wall' object (nyu40 id 1,
+    not in the 18) is neither a target nor a GT class; 'sofa' (nyu40 6) is
+    kept as class 3 despite its name mismatch with 'couch'."""
+    from eda_tpu.data.class_config import (
+        NYU40_IDS_18,
+        instance_label_to_class18,
+        raw_to_nyu40,
+    )
+
+    scans = {
+        "scene0": FakeScan(
+            rng, objects=(("chair", 300), ("wall", 500), ("sofa", 400))
+        )
+    }
+    ds = DetectionPromptDataset(scans, split="val", augment=False, vocab_size=512)
+    ex = ds.example(0)
+    assert ex["targets"]["box_label_mask"].sum() == 2  # chair + sofa, no wall
+
+    scan = scans["scene0"]
+    nyu18 = set(NYU40_IDS_18)
+    keep = [
+        instance_label_to_class18(o["instance_label"])
+        for o in scan.three_d_objects
+        if raw_to_nyu40().get(o["instance_label"]) in nyu18
+    ]
+    assert keep == [2, 3]  # chair, sofa (id-keyed, unlike the ScanRefer pass)

@@ -520,7 +520,11 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
 
     from eda_tpu.parallel import shard_batch
 
-    from eda_tpu.data.class_config import instance_label_to_class18
+    from eda_tpu.data.class_config import (
+        NYU40_IDS_18,
+        instance_label_to_class18,
+        raw_to_nyu40,
+    )
     from eda_tpu.data.dataset import MAX_NUM_OBJ
     from eda_tpu.data.detection_prompt import DetectionPromptDataset
     from eda_tpu.data.scannet import load_packed_scans
@@ -555,13 +559,17 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
         # recover per-sample gt classes from the scans; ds.batch(idx) row i
         # is scan ds.scan_ids[idx[i]] (pinned by test_det_eval_scan_mapping)
         gt_classes = np.zeros((bsz, MAX_NUM_OBJ), np.int64)
+        nyu18 = set(NYU40_IDS_18)
         for i in range(bsz):
             scan = ds.scans[ds.scan_ids[int(idx[i]) % len(ds.scan_ids)]]
-            classes = [
+            # STRICT 18-class membership, matching the dataset's fixed-prompt
+            # target selection (joint_det_dataset.py:876-881) — the else-17
+            # fallback would admit walls/floors as 'other furniture' GT
+            keep = [
                 instance_label_to_class18(o["instance_label"])
                 for o in scan.three_d_objects
-            ]
-            keep = [c for c in classes if c < 18][:MAX_NUM_OBJ]
+                if raw_to_nyu40().get(o["instance_label"]) in nyu18
+            ][:MAX_NUM_OBJ]
             gt_classes[i, : len(keep)] = keep
         evaluate_detection_batch(
             calc, end_points, batch_np["targets"], gt_classes, tok, caption,
