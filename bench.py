@@ -168,6 +168,34 @@ def main():
     batch_size = 2 if args.dry else args.batch
     text_len = 32 if args.dry else 64
 
+    if args.dry:
+        # CPU smoke: never touch the remote-TPU tunnel for the tiny config
+        # (the JAX_PLATFORMS env var is ignored on this image — set the
+        # config after import instead)
+        jax.config.update("jax_platforms", "cpu")
+
+    # The remote-TPU tunnel can be transiently UNAVAILABLE (a killed client
+    # wedges the single compile slot for a while); retry backend init so a
+    # blip doesn't cost the whole benchmark run.
+    for attempt in range(10):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            print(
+                f"backend init failed (attempt {attempt + 1}/10): {e}",
+                file=sys.stderr,
+            )
+            if attempt == 9:
+                raise
+            try:  # jax caches failed init; drop it so the retry is real
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
     model, variables, batch = build(cfg, batch_size, text_len)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
