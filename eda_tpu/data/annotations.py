@@ -131,15 +131,16 @@ def _meta_scan_set(name: str, split: str):
         return set(ast.literal_eval(f.read()))
 
 
-def _sr3d_rows(data_path: str, split: str, name: str):
-    """Yield CSV rows. Reference layout first — ONE ``ReferIt3D/{name}.csv``
-    for all splits, membership-filtered by the sr3d_{train,test}_scans list
-    ('val' maps to 'test', joint_det_dataset.py:160-165) — with a
-    pre-split ``refer_it_3d/{name}_{split}.csv`` fallback for fixtures."""
-    ref_csv = osp.join(data_path, "ReferIt3D", f"{name}.csv")
+def _referit_rows(data_path: str, split: str, csv_name: str, list_name: str):
+    """Yield CSV rows. Reference layout first — ONE ``ReferIt3D/{csv}.csv``
+    for all splits, membership-filtered by the {sr3d,nr3d}_{train,test}_scans
+    list ('val' maps to 'test', joint_det_dataset.py:160-165, 194-199) —
+    with a pre-split ``refer_it_3d/{csv}_{split}.csv`` fallback for
+    fixtures."""
+    ref_csv = osp.join(data_path, "ReferIt3D", f"{csv_name}.csv")
     if osp.exists(ref_csv):
         scans = _meta_scan_set(
-            "sr3d", "test" if split in ("val", "test") else "train"
+            list_name, "test" if split in ("val", "test") else "train"
         )
         with open(ref_csv, newline="") as f:
             for row in csv.DictReader(f):
@@ -147,7 +148,8 @@ def _sr3d_rows(data_path: str, split: str, name: str):
                     yield row
         return
     with open(
-        osp.join(data_path, "refer_it_3d", f"{name}_{split}.csv"), newline=""
+        osp.join(data_path, "refer_it_3d", f"{csv_name}_{split}.csv"),
+        newline="",
     ) as f:
         yield from csv.DictReader(f)
 
@@ -156,7 +158,7 @@ def load_sr3d(data_path: str, split: str, plus: bool = False) -> List[dict]:
     """SR3D / SR3D+ CSV annotations (``joint_det_dataset.py:158-189``)."""
     name = "sr3d+" if plus else "sr3d"
     annos = []
-    for row in _sr3d_rows(data_path, split, name):
+    for row in _referit_rows(data_path, split, name, "sr3d"):
         # string compare like the reference (:183) — the CSV holds
         # True/False literals in assorted casings
         if str(row.get("mentions_target_class", "True")).lower() != "true":
@@ -176,25 +178,6 @@ def load_sr3d(data_path: str, split: str, plus: bool = False) -> List[dict]:
     return _decouple(annos)
 
 
-def _nr3d_rows(data_path: str, split: str):
-    """Reference layout (single ``ReferIt3D/nr3d.csv`` + nr3d scan lists)
-    with the pre-split fallback."""
-    ref_csv = osp.join(data_path, "ReferIt3D", "nr3d.csv")
-    if osp.exists(ref_csv):
-        scans = _meta_scan_set(
-            "nr3d", "test" if split in ("val", "test") else "train"
-        )
-        with open(ref_csv, newline="") as f:
-            for row in csv.DictReader(f):
-                if scans is None or row["scan_id"] in scans:
-                    yield row
-        return
-    with open(
-        osp.join(data_path, "refer_it_3d", f"nr3d_{split}.csv"), newline=""
-    ) as f:
-        yield from csv.DictReader(f)
-
-
 def load_nr3d(data_path: str, split: str) -> List[dict]:
     """NR3D CSV annotations (``joint_det_dataset.py:191-239``).
 
@@ -204,7 +187,7 @@ def load_nr3d(data_path: str, split: str) -> List[dict]:
     (:226-235) — see :func:`compute_scanrefer_flags`.
     """
     annos = []
-    for row in _nr3d_rows(data_path, split):
+    for row in _referit_rows(data_path, split, "nr3d", "nr3d"):
         correct = str(row.get("correct_guess", "True")).lower() == "true"
         if split in ("val", "test") and not correct:
             continue

@@ -52,23 +52,6 @@ def raw_to_nyu40class() -> Dict[str, str]:
 
 
 @functools.lru_cache(maxsize=1)
-def full_class_list() -> List[str]:
-    """All raw category names in TSV order (607 rows; superset vocabulary)."""
-    import csv
-
-    names = []
-    with open(LABELS_TSV, newline="") as f:
-        for row in csv.DictReader(f, delimiter="\t"):
-            names.append(row["raw_category"])
-    return names
-
-
-@functools.lru_cache(maxsize=1)
-def raw_to_full_id() -> Dict[str, int]:
-    return {name: i for i, name in enumerate(full_class_list())}
-
-
-@functools.lru_cache(maxsize=1)
 def raw_to_tsv_id() -> Dict[str, int]:
     """raw instance label -> TSV 'id' column (the reference's self.label_map,
     joint_det_dataset.py:86-90)."""

@@ -31,7 +31,7 @@ from eda_tpu.data.class_config import (
     instance_label_to_class485,
 )
 from eda_tpu.data.positive_maps import MAX_TOKENS, build_positive_maps, not_mentioned_suffix
-from eda_tpu.data.scannet import Scan, load_packed_scans
+from eda_tpu.data.scannet import Scan, load_packed_scans, object_box_from_points
 from eda_tpu.models.tokenizer import make_tokenizer
 
 MAX_NUM_OBJ = 132  # joint_det_dataset.py:45
@@ -242,6 +242,14 @@ class GroundingDataset:
         # get_object_bbox reads the augmented scan.pc
         # (joint_det_dataset.py:508, 703-705, visual_data_handlers.py:246-259)
         # — tight boxes, not corner-transformed AABBs.
+        # height rides the PRE-augmentation cloud: the reference computes it
+        # at _get_pc step b, before step d augments scan.pc
+        # (joint_det_dataset.py:481-505)
+        height = None
+        if self.use_height:
+            floor = np.percentile(xyz[:, 2], 0.99)
+            height = (xyz[:, 2] - floor)[:, None].astype(np.float32)
+
         aug = None
         if self.augment:
             rotate = not is_view_dependent(anno["utterance"])
@@ -250,9 +258,9 @@ class GroundingDataset:
             )
 
         def obj_box(o: int) -> np.ndarray:
-            pts = xyz[scan.three_d_objects[o]["points"]]
-            mx, mn = pts.max(0), pts.min(0)
-            return np.concatenate([(mx + mn) / 2.0, mx - mn])
+            return object_box_from_points(
+                xyz, scan.three_d_objects[o]["points"]
+            )
 
         # scene objects: the reference keeps objects whose label is in the
         # 485-class vocabulary and ids them with DC(485) ranks — the rows of
@@ -340,9 +348,8 @@ class GroundingDataset:
 
         # optional per-point extras (joint_det_dataset.py:481-490)
         extras = []
-        if self.use_height:
-            floor = np.percentile(xyz[:, 2], 0.99)
-            extras.append((xyz[:, 2] - floor)[:, None].astype(np.float32))
+        if height is not None:
+            extras.append(height)
         if self.multiview_path:
             extras.append(self._load_multiview(anno["scan_id"]))
 
@@ -406,15 +413,34 @@ class GroundingDataset:
                 det_boxes[:n] = scene_boxes
                 det_mask[:n] = True
                 det_cls[:n] = scene_classes
-                if self.butd_cls and anno["scan_id"] in self._cls_results():
+                if self.butd_cls:
                     # butd_cls replaces GT classes with the per-scan
                     # PREDICTED classes from cls_results.json
-                    # (joint_det_dataset.py:960-963)
-                    cls = np.asarray(
-                        self._cls_results()[anno["scan_id"]], np.int32
-                    )
-                    cls = cls[cls > -1]
-                    det_cls[: min(n, len(cls))] = cls[:n]
+                    # (joint_det_dataset.py:960-963). The reference fails
+                    # loudly on a missing scan or a count mismatch; running
+                    # the protocol on GT classes would silently inflate
+                    # accuracy, so only a MISSING FILE falls back (warned
+                    # once — fixtures/synthetic runs have no such file).
+                    results = self._cls_results()
+                    if results:
+                        cls = np.asarray(results[anno["scan_id"]], np.int32)
+                        cls = cls[cls > -1]
+                        if len(cls) != n:
+                            raise ValueError(
+                                f"cls_results.json has {len(cls)} classes "
+                                f"for {anno['scan_id']} but the scan keeps "
+                                f"{n} objects"
+                            )
+                        det_cls[:n] = cls
+                    elif not getattr(self, "_warned_cls_fallback", False):
+                        self._warned_cls_fallback = True
+                        import logging
+
+                        logging.getLogger("eda_tpu").warning(
+                            "--butd_cls without cls_results.json: falling "
+                            "back to GT classes (NOT the reference "
+                            "protocol's predicted classes)"
+                        )
                 # det_logits stay zero: the reference's oracle substitution
                 # replaces boxes/classes only and leaves all_detected_logits
                 # as zeros (joint_det_dataset.py:951-963)

@@ -23,10 +23,13 @@ from eda_tpu.data.class_config import (
     NYU40_IDS_18,
 )
 from eda_tpu.data.dataset import MAX_NUM_OBJ
+from eda_tpu.data.scannet import object_box_from_points
 from eda_tpu.data.positive_maps import MAX_TOKENS, spans_to_map
 from eda_tpu.data.presort import morton_sort
 from eda_tpu.data.augment import MEAN_RGB, augment_scene
 from eda_tpu.models.tokenizer import make_tokenizer
+
+_NYU18_SET = frozenset(NYU40_IDS_18)
 
 # display names used inside prompts (reference uses 'couch'/'shower curtain'
 # style names from DC.class2type)
@@ -81,13 +84,24 @@ class DetectionPromptDataset:
             )
         ]
         split_order = _split_file_order(split)
-        if split_order:
-            order = {s: i for i, s in enumerate(split_order)}
-            self.scan_ids.sort(key=lambda s: order.get(s, len(order)))
-        if split == "train":
-            self.scan_ids = [
-                s for i, s in enumerate(self.scan_ids) if i not in (965, 977)
-            ]
+        in_order = (
+            [s for s in split_order if s in set(self.scan_ids)]
+            if split_order is not None
+            else []
+        )
+        if in_order:
+            # the reference ITERATES the split file (joint_det_dataset.py:
+            # 337-343): scans absent from it are excluded, and the order is
+            # the file's. The fixed index drop only makes sense against that
+            # ordering. Fixture scans (zero overlap with real ScanNet ids)
+            # keep the insertion order and skip the drop.
+            self.scan_ids = in_order
+            if split == "train":
+                self.scan_ids = [
+                    s
+                    for i, s in enumerate(self.scan_ids)
+                    if i not in (965, 977)
+                ]
         self.scans = scans
         self.split = split
         self.use_color = use_color
@@ -129,15 +143,16 @@ class DetectionPromptDataset:
                     neg_names.append(name)
             names = sorted(set(sampled_names + neg_names))
             rng.shuffle(names)
-            # targets: objects whose 485-class name was sampled
-            # (joint_det_dataset.py:882-893)
+            # targets: objects whose 485-class name was sampled, among the
+            # FIRST 132 object indices (np.where over mask[:MAX_NUM_OBJ],
+            # joint_det_dataset.py:882-893 — truncate THEN filter)
             target_objs = [
                 i
-                for i, l in enumerate(labels)
-                if instance_label_in_class485(l)
-                and cfg.class2type[instance_label_to_class485(l)]
+                for i in range(min(len(labels), MAX_NUM_OBJ))
+                if instance_label_in_class485(labels[i])
+                and cfg.class2type[instance_label_to_class485(labels[i])]
                 in sampled_names
-            ][:MAX_NUM_OBJ]
+            ]
             obj_names = {
                 i: cfg.class2type[instance_label_to_class485(labels[i])]
                 for i in target_objs
@@ -149,9 +164,9 @@ class DetectionPromptDataset:
             names = list(PROMPT_NAMES)
             target_objs = [
                 i
-                for i, l in enumerate(labels)
-                if raw_to_nyu40().get(l) in set(NYU40_IDS_18)
-            ][:MAX_NUM_OBJ]
+                for i in range(min(len(labels), MAX_NUM_OBJ))
+                if raw_to_nyu40().get(labels[i]) in _NYU18_SET
+            ]
             obj_names = {
                 i: PROMPT_NAMES[instance_label_to_class18(labels[i])]
                 for i in target_objs
@@ -174,9 +189,9 @@ class DetectionPromptDataset:
         # boxes recomputed from the (augmented) points, like the reference's
         # get_object_bbox over the augmented scan.pc
         def obj_box(o: int) -> np.ndarray:
-            pts = xyz[scan.three_d_objects[o]["points"]]
-            mx, mn = pts.max(0), pts.min(0)
-            return np.concatenate([(mx + mn) / 2.0, mx - mn])
+            return object_box_from_points(
+                xyz, scan.three_d_objects[o]["points"]
+            )
 
         gt_boxes = (
             np.stack([obj_box(o) for o in target_objs]).astype(np.float32)

@@ -27,6 +27,16 @@ import numpy as np
 
 from eda_tpu.data.ply import read_ply_vertices
 
+
+def object_box_from_points(xyz: np.ndarray, point_idx) -> np.ndarray:
+    """Tight axis-aligned cxcyczwhd box over an object's points — the
+    reference's get_object_bbox semantics (visual_data_handlers.py:246-259),
+    also applied to AUGMENTED clouds (the reference stores the augmented pc
+    back into the scan before reading boxes, joint_det_dataset.py:508)."""
+    pts = xyz[point_idx]
+    mx, mn = pts.max(0), pts.min(0)
+    return np.concatenate([(mx + mn) / 2.0, mx - mn]).astype(np.float32)
+
 DOWNSAMPLE_SEED = 1184  # visual_data_handlers.py:113
 KEEP_POINTS = 50000
 
@@ -138,9 +148,9 @@ class Scan:
     def get_object_bbox(self, obj_idx: int) -> np.ndarray:
         """Axis-aligned cxcyczwhd box of an object's points
         (visual_data_handlers.py:246-259)."""
-        pts = self.pc[self.three_d_objects[obj_idx]["points"]]
-        mx, mn = pts.max(0), pts.min(0)
-        return np.concatenate([(mx + mn) / 2.0, mx - mn]).astype(np.float32)
+        return object_box_from_points(
+            self.pc, self.three_d_objects[obj_idx]["points"]
+        )
 
     def object_by_id(self, object_id: int) -> Optional[int]:
         for i, o in enumerate(self.three_d_objects):

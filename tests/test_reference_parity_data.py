@@ -25,6 +25,7 @@ in test_roberta_hf_parity.py).
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -37,24 +38,32 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 
 
+def _stub_module(name):
+    """A stub with a real ModuleSpec: libraries probe optional deps with
+    importlib.util.find_spec, which raises on __spec__ = None."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 @pytest.fixture(scope="module")
 def ref_jd():
     for name in ("wandb", "sng_parser"):
         if name not in sys.modules:
-            mod = types.ModuleType(name)
+            mod = _stub_module(name)
             if name == "sng_parser":
                 mod.parse = lambda *a, **k: ({}, [])
             sys.modules[name] = mod
     try:
         import plyfile  # noqa: F401
     except ImportError:
-        pf = types.ModuleType("plyfile")
+        pf = _stub_module("plyfile")
         pf.PlyData = object
         pf.PlyElement = object
         sys.modules["plyfile"] = pf
     for pkg_name, path in (("data", f"{REF}/data"), ("src", f"{REF}/src")):
         if pkg_name not in sys.modules:
-            pkg = types.ModuleType(pkg_name)
+            pkg = _stub_module(pkg_name)
             pkg.__path__ = [path]
             sys.modules[pkg_name] = pkg
     return importlib.import_module("src.joint_det_dataset")

@@ -18,6 +18,7 @@ heading (rotation about the vertical flips chirality with the axis swap).
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -42,10 +43,12 @@ def _utils_pkg():
     pkg = sys.modules.get("utils")
     if pkg is None:
         pkg = types.ModuleType("utils")
+        pkg.__spec__ = importlib.machinery.ModuleSpec("utils", loader=None)
         pkg.__path__ = []
         sys.modules["utils"] = pkg
     if "ipdb" not in sys.modules:
         ipdb = types.ModuleType("ipdb")
+        ipdb.__spec__ = importlib.machinery.ModuleSpec("ipdb", loader=None)
         ipdb.set_trace = lambda *a, **k: None
         sys.modules["ipdb"] = ipdb
     return pkg

@@ -16,6 +16,7 @@ running stats are non-trivial, converts the real state dict through
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -36,9 +37,13 @@ REF = "/root/reference"
 def ref_modules():
     if "pointnet2" not in sys.modules:
         pkg = types.ModuleType("pointnet2")
+        pkg.__spec__ = importlib.machinery.ModuleSpec("pointnet2", loader=None)
         pkg.__path__ = []
         sys.modules["pointnet2"] = pkg
         utils = types.ModuleType("pointnet2.pointnet2_utils")
+        utils.__spec__ = importlib.machinery.ModuleSpec(
+            "pointnet2.pointnet2_utils", loader=None
+        )
         utils.gather_operation = None  # GeneralSamplingModule only, unused
         sys.modules["pointnet2.pointnet2_utils"] = utils
         pkg.pointnet2_utils = utils
