@@ -20,13 +20,30 @@ MEAN_RGB = np.array([109.8, 97.2, 83.8], np.float32) / 256.0  # joint_det_datase
 VIEW_DEP_WORDS = (
     "front", "behind", "back", "right", "left", "facing", "leftmost",
     "rightmost", "looking", "across",
-)  # _augment_nr3d word gate (joint_det_dataset.py:1300-1307)
+)  # the rel word list of _is_view_dep / _augment_nr3d (joint_det_dataset.py:1043-1068)
 
 
 def is_view_dependent(utterance: str) -> bool:
-    """True if the utterance contains a view-dependent relation word."""
-    words = set(utterance.replace(",", " ").lower().split())
+    """The EVAL hardness flag: word-set membership over the raw utterance
+    (reference ``_is_view_dep``, joint_det_dataset.py:1043-1051)."""
+    words = set(utterance.split())
     return any(w in words for w in VIEW_DEP_WORDS)
+
+
+def rotate_natural(utterance: str) -> bool:
+    """The nr3d/scanrefer ROTATION gate — a distinct, substring-based check
+    (reference ``_augment_nr3d``, joint_det_dataset.py:1057-1068: an
+    utterance STARTING with a rel word still rotates)."""
+    padded = utterance + " "
+    return not any(f" {w} " in padded for w in VIEW_DEP_WORDS)
+
+
+def rotate_sr3d(utterance: str) -> bool:
+    """The sr3d ROTATION gate: the utterance's canonical relation must not
+    be view-dependent (joint_det_dataset.py:497-505 + _find_rel)."""
+    from eda_tpu.data.vocab import VIEW_DEP_RELS, find_rel
+
+    return find_rel(utterance) not in VIEW_DEP_RELS
 
 
 def _rot(theta_deg: float, axis: int) -> np.ndarray:

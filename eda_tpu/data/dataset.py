@@ -25,7 +25,13 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from eda_tpu.data import annotations as anno_lib
-from eda_tpu.data.augment import MEAN_RGB, augment_scene, is_view_dependent
+from eda_tpu.data.augment import (
+    MEAN_RGB,
+    augment_scene,
+    is_view_dependent,
+    rotate_natural,
+    rotate_sr3d,
+)
 from eda_tpu.data.class_config import (
     instance_label_in_class485,
     instance_label_to_class485,
@@ -252,7 +258,14 @@ class GroundingDataset:
 
         aug = None
         if self.augment:
-            rotate = not is_view_dependent(anno["utterance"])
+            # dataset-conditional rotation gates (joint_det_dataset.py:
+            # 494-505): sr3d keys on the canonical relation, nr3d/scanrefer
+            # on the substring rel-word check, scannet always rotates
+            dset = anno.get("dataset", "scanrefer")
+            if dset.startswith("sr3d"):
+                rotate = rotate_sr3d(anno["utterance"])
+            else:
+                rotate = dset == "scannet" or rotate_natural(anno["utterance"])
             xyz, color, _, aug = augment_scene(
                 rng, xyz, color, np.zeros((0, 6), np.float32), rotate
             )

@@ -187,3 +187,65 @@ def is_object_noun(word: str) -> bool:
 
 def is_scene_noun(word: str) -> bool:
     return any(c in SCENE_NOUNS for c in _candidates(word))
+
+
+# Canonical SR3D relation aliases (reference src/scannet_classes.py:880-912)
+# — vocabulary constants like the typo tables, keyed longest-first by
+# _find_rel (joint_det_dataset.py:1054-1067).
+REL_ALIASES: Dict[str, str] = {
+    "above": "above",
+    "behind": "behind",
+    "below": "below",
+    "beneath": "below",
+    "beside": "near",
+    "between": "between",
+    "close to": "near",
+    "closer to": "near",
+    "far away from": "far from",
+    "far from": "far from",
+    "farthest from": "far from",
+    "in front of": "in front of",
+    "in the center of": "between",
+    "in the middle of": "between",
+    "lying on": "on",
+    "near": "near",
+    "next to": "near",
+    "on": "on",
+    "on the back of": "behind",
+    "on the left of": "on the left of",
+    "on the left side of": "on the left of",
+    "on the right of": "on the right of",
+    "on the right side of": "on the right of",
+    "on top": "on",
+    "on top of": "on",
+    "over": "above",
+    "supporting": "below",
+    "to the left of": "on the left of",
+    "to the right of": "on the right of",
+    "under": "below",
+    "underneath": "below",
+}
+
+# Relations whose truth depends on the viewpoint — SR3D skips the rotation
+# augmentation for them (reference src/scannet_classes.py:851-861).
+VIEW_DEP_RELS: List[str] = [
+    "behind",
+    "in front of",
+    "on the back of",
+    "on the left of",
+    "on the left side of",
+    "on the right of",
+    "on the right side of",
+    "to the left of",
+    "to the right of",
+]
+
+
+def find_rel(utterance: str) -> str:
+    """Longest-alias relation phrase in the utterance -> canonical name,
+    'none' if absent (reference _find_rel, joint_det_dataset.py:1054-1067)."""
+    padded = " " + utterance.replace(",", " ,") + " "
+    for alias in sorted(REL_ALIASES, key=len, reverse=True):
+        if f" {alias} " in padded:
+            return REL_ALIASES[alias]
+    return "none"

@@ -571,3 +571,56 @@ def test_scanrefer_loader_parity(ref_jd, tmp_path, monkeypatch):
     by_tid = {a["target_id"]: a for a in ours if a["scan_id"] == "scene0000_00"}
     assert by_tid[2]["distractor_ids"] == [4]
     assert by_tid[4]["distractor_ids"] == [2]
+
+
+# ---------------------------------------------------------------------------
+# View-dependence flags / rotation gates / relation lookup
+# ---------------------------------------------------------------------------
+
+GATE_UTTERANCES = [
+    "the chair to the left of the desk",
+    "left of the desk is the chair",  # starts with a rel word
+    "the mug next to the pot",
+    "the couch lying on the floor",
+    "it is behind the door",
+    "the table . it is far away from the window",
+    "a leftmost chair",
+    "the shelf across from the bed",
+    "the chair , facing the wall",
+    "plain chair with no relations",
+]
+
+
+def test_view_dep_and_rotation_gate_parity(ref_jd):
+    """is_view_dependent == _is_view_dep (word set), rotate_natural ==
+    _augment_nr3d (substring with the leading-space quirk), and find_rel ==
+    _find_rel (longest REL_ALIASES match) on every gate utterance."""
+    from eda_tpu.data.augment import is_view_dependent, rotate_natural
+    from eda_tpu.data.vocab import find_rel
+
+    for utt in GATE_UTTERANCES:
+        assert is_view_dependent(utt) == ref_jd.Joint3DDataset._is_view_dep(
+            utt
+        ), utt
+        assert rotate_natural(utt) == ref_jd.Joint3DDataset._augment_nr3d(
+            utt
+        ), utt
+        assert find_rel(utt) == ref_jd.Joint3DDataset._find_rel(utt), utt
+
+
+def test_sr3d_rotation_gate_matches_reference_composition(ref_jd):
+    """rotate_sr3d == (_find_rel(utterance) not in VIEW_DEP_RELS), the
+    composition at joint_det_dataset.py:497-505."""
+    import importlib.util as ilu
+
+    from eda_tpu.data.augment import rotate_sr3d
+
+    spec = ilu.spec_from_file_location(
+        "_ref_sc", f"{REF}/src/scannet_classes.py"
+    )
+    sc = ilu.module_from_spec(spec)
+    sys.modules["_ref_sc"] = sc
+    spec.loader.exec_module(sc)
+    for utt in GATE_UTTERANCES:
+        want = ref_jd.Joint3DDataset._find_rel(utt) not in sc.VIEW_DEP_RELS
+        assert rotate_sr3d(utt) == want, utt
