@@ -624,3 +624,103 @@ def test_sr3d_rotation_gate_matches_reference_composition(ref_jd):
     for utt in GATE_UTTERANCES:
         want = ref_jd.Joint3DDataset._find_rel(utt) not in sc.VIEW_DEP_RELS
         assert rotate_sr3d(utt) == want, utt
+
+
+# ---------------------------------------------------------------------------
+# Scan loading (visual_data_handlers.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_fake_scan(tmp_path, scan_id="scene0000_00", n=2000, seed=3):
+    import json as _json
+
+    from eda_tpu.data.ply import write_ply_vertices
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path / scan_id
+    d.mkdir()
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    write_ply_vertices(
+        str(d / f"{scan_id}_vh_clean_2.ply"),
+        {
+            "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+            "red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2],
+        },
+    )
+    seg = np.zeros(n, int)
+    seg[:300] = 1
+    seg[300:700] = 2
+    seg[700:800] = 3
+    with open(d / f"{scan_id}_vh_clean_2.0.010000.segs.json", "w") as f:
+        _json.dump({"segIndices": seg.tolist()}, f)
+    with open(d / f"{scan_id}.aggregation.json", "w") as f:
+        _json.dump(
+            {
+                "segGroups": [
+                    {"objectId": 0, "segments": [1], "label": "chair"},
+                    {"objectId": 1, "segments": [2, 3], "label": "table"},
+                    {"objectId": 2, "segments": [3, 2], "label": "table"},
+                ]
+            },
+            f,
+        )
+
+
+class _ShimPlyData:
+    """plyfile.PlyData stand-in backed by our own PLY reader, so the
+    reference Scan loader runs without the plyfile package."""
+
+    def __init__(self, verts):
+        self.elements = [types.SimpleNamespace(data=verts)]
+
+    @classmethod
+    def read(cls, path):
+        from eda_tpu.data.ply import read_ply_vertices
+
+        return cls(read_ply_vertices(str(path)))
+
+
+def test_scan_loader_parity(ref_jd, tmp_path, monkeypatch):
+    """Full Scan load parity on a fabricated scene: seed-1184 downsample
+    choices, axis alignment, colors, per-object point sets after the
+    choices remap, the duplicate-object filter (segments [2,3] vs [3,2]
+    give the same point set), and AABBs
+    (visual_data_handlers.py:69-178,246-259)."""
+    import importlib as _il
+    import json as _json
+
+    from eda_tpu.data.scannet import Scan
+
+    scan_id = "scene0000_00"  # a real id: the axis-alignment JSON needs it
+    _write_fake_scan(tmp_path, scan_id)
+
+    vdh = _il.import_module("src.visual_data_handlers")
+    monkeypatch.setattr(vdh, "PlyData", _ShimPlyData)
+    monkeypatch.chdir(REF)  # ScanNetMappings reads data/meta_data/* via cwd
+    ref_scan = vdh.Scan(scan_id, str(tmp_path))
+
+    with open(f"{REF}/data/meta_data/scans_axis_alignment_matrices.json") as f:
+        matrix = _json.load(f)[scan_id]
+    ours = Scan(scan_id, str(tmp_path), axis_alignment=np.asarray(matrix))
+
+    np.testing.assert_allclose(ours.pc, ref_scan.pc, atol=2e-4)
+    np.testing.assert_allclose(ours.color, ref_scan.color, atol=1e-7)
+    np.testing.assert_array_equal(ours.choices, ref_scan.choices)
+
+    assert len(ours.three_d_objects) == len(ref_scan.three_d_objects) == 2
+    for o_ours, o_ref in zip(ours.three_d_objects, ref_scan.three_d_objects):
+        assert o_ours["object_id"] == o_ref["object_id"]
+        assert o_ours["instance_label"] == o_ref["instance_label"]
+        assert set(o_ours["points"].tolist()) == set(o_ref["points"].tolist())
+        # reference boxes are (min, max) corners, converted to cxcyczwhd by
+        # the dataset (_get_target_boxes, joint_det_dataset.py:703-707)
+        ref_box = np.asarray(
+            ref_scan.get_object_bbox(o_ref["object_id"])
+        ).reshape(-1)
+        ref_cxyzwhd = np.concatenate(
+            [(ref_box[:3] + ref_box[3:]) * 0.5, ref_box[3:] - ref_box[:3]]
+        )
+        np.testing.assert_allclose(
+            ours.get_object_bbox(o_ours["object_id"]), ref_cxyzwhd, atol=2e-4
+        )
