@@ -32,6 +32,7 @@ class ModelConfig:
     contrastive_dim: int = 64
     butd: bool = False            # detected-box stream (two-stage mode)
     butd_box_dim: int = 128       # box-pos share of the 288-d box token (bdetr.py:96-97)
+    butd_class_embed_dim: int = 768  # offline RoBERTa-base table width (bdetr.py:90)
     max_detected_boxes: int = 132
     # PointNet++ backbone (reference models/backbone_module.py:44-81)
     sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
@@ -42,6 +43,10 @@ class ModelConfig:
     # fused = TPU-native index-free SA (ops/fused_sa.py); gather = exact
     # reference semantics (ball query + neighbor gather + BN).
     sa_impl: str = "fused"
+    # gather-path neighborhood selection: "nearest" (nearest-k in radius,
+    # the documented deviation) | "first" (reference-exact first-k in index
+    # order, ball_query_gpu.cu:14-49 — used by the full-model parity test)
+    sa_ball_mode: str = "nearest"
     # All SA layers windowed: the backbone re-sorts surviving points by the
     # next layer's Morton grid between layers, so short windows apply
     # throughout. Measured mean in-radius-neighbor coverage on synthetic

@@ -60,6 +60,7 @@ class EDAGrounder(nn.Module):
             mlps=tuple(tuple(m) for m in cfg.sa_mlps),
             fp_mlps=tuple(tuple(m) for m in cfg.fp_mlps),
             sa_impl=cfg.sa_impl,
+            sa_ball_mode=cfg.sa_ball_mode,
             sa_windows=tuple(cfg.sa_windows),
             points_presorted=cfg.points_presorted,
             dtype=dtype,
@@ -96,8 +97,13 @@ class EDAGrounder(nn.Module):
             box_emb = PositionEmbeddingLearned(
                 cfg.butd_box_dim, dtype, name="box_embeddings"
             )(inputs["det_boxes"], train=train)  # (B, D, butd_box_dim)
+            # the table is generated OFFLINE by RoBERTa-base and is always
+            # 768-wide regardless of the runtime text encoder
+            # (bdetr.py:90 hardcodes nn.Embedding(num_obj_class, 768))
             cls_table = nn.Embed(
-                cfg.num_obj_class, cfg.text_hidden, name="butd_class_embeddings"
+                cfg.num_obj_class,
+                cfg.butd_class_embed_dim,
+                name="butd_class_embeddings",
             )(inputs["det_class_ids"])
             cls_table = jax.lax.stop_gradient(cls_table)  # frozen table (bdetr.py:95)
             cls_emb = nn.Dense(

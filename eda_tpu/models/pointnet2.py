@@ -64,6 +64,7 @@ class SetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp_channels: Sequence[int]
+    ball_mode: str = "nearest"  # nearest | first (reference-exact order)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,7 +81,12 @@ class SetAbstraction(nn.Module):
         """
         inds = pointops.furthest_point_sample(xyz, self.npoint)
         new_xyz = pointops.gather_points(xyz, inds)
-        nbr = pointops.ball_query_nearest(xyz, new_xyz, self.radius, self.nsample)
+        if self.ball_mode == "first":
+            nbr = pointops.ball_query(xyz, new_xyz, self.radius, self.nsample)
+        else:
+            nbr = pointops.ball_query_nearest(
+                xyz, new_xyz, self.radius, self.nsample
+            )
         grouped_xyz = pointops.group_points(xyz, nbr) - new_xyz[:, :, None, :]
         grouped_xyz = grouped_xyz / self.radius  # normalize_xyz
         if features is not None:
@@ -241,6 +247,7 @@ class PointNetPPBackbone(nn.Module):
     )
     fp_mlps: Sequence[Sequence[int]] = ((256, 256), (256, 288))
     sa_impl: str = "fused"  # fused (TPU-native) | gather (reference-exact)
+    sa_ball_mode: str = "nearest"  # gather path: nearest | first
     sa_windows: Sequence[int] = (2048, 4096, 4096, 4096)
     points_presorted: bool = False  # input pipeline Morton-sorts the cloud
     dtype: jnp.dtype = jnp.float32
@@ -279,6 +286,7 @@ class PointNetPPBackbone(nn.Module):
                     radius=self.radii[i],
                     nsample=self.nsamples[i],
                     mlp_channels=self.mlps[i],
+                    ball_mode=self.sa_ball_mode,
                     dtype=self.dtype,
                     name=f"sa{i + 1}",
                 )(xyz, features, train=train)

@@ -286,13 +286,19 @@ def three_interpolate(
 
 
 def interpolation_weights(dist2: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Inverse-squared-distance weights, as ``pointnet2_modules.py:394-397``.
+    """Inverse-DISTANCE weights over the 3 nearest neighbors.
+
+    The reference's ThreeNN wrapper returns ``sqrt(dist2)``
+    (``pointnet2_utils.py:151``) and the FP module weights by
+    ``1 / (dist + 1e-8)`` (``pointnet2_modules.py:394-397``) — inverse
+    distance, NOT inverse squared distance (a mis-transcription caught by
+    the full-model differential test, test_full_model_parity.py).
 
     Args:
-        dist2: (B, n, k) squared distances from ``three_nn``.
+        dist2: (B, n, k) SQUARED distances from ``three_nn``.
 
     Returns:
         (B, n, k) weights summing to 1 over k.
     """
-    recip = 1.0 / (dist2 + eps)
+    recip = 1.0 / (jnp.sqrt(dist2) + eps)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)

@@ -138,13 +138,13 @@ def fabricate_eda_state_dict(cfg: ModelConfig) -> dict:
     sd.update(
         _torch_sd(
             "butd_class_embeddings",
-            torch.nn.Embedding(cfg.num_obj_class, cfg.text_hidden),
+            torch.nn.Embedding(cfg.num_obj_class, cfg.butd_class_embed_dim),
         )
     )
     sd.update(
         _torch_sd(
             "class_embeddings",
-            torch.nn.Linear(cfg.text_hidden, d - cfg.butd_box_dim),
+            torch.nn.Linear(cfg.butd_class_embed_dim, d - cfg.butd_box_dim),
         )
     )
     sd.update(_torch_sd("box_embeddings", _pos_embed_torch(6, cfg.butd_box_dim)))
@@ -424,7 +424,7 @@ def test_warm_start_pipeline(tmp_path):
     torch.save(backbone_sd, tmp_path / "gf_detector.pth")
 
     table = np.random.default_rng(1).normal(
-        size=(cfg.num_obj_class, cfg.text_hidden)
+        size=(cfg.num_obj_class, cfg.butd_class_embed_dim)
     ).astype(np.float32)
     np.save(tmp_path / "class_embeddings3d.npy", table)
 
