@@ -371,3 +371,114 @@ def test_full_model_forward_parity(
         if prefix != "proposal_":
             close(prefix + "proj_queries", ref_ep[prefix + "proj_queries"], 5e-3)
     close("proposal_proj_queries", ref_ep["proposal_proj_queries"], 5e-3)
+
+
+@pytest.mark.slow
+def test_full_model_train_mode_parity(ref_bdetr, roberta_data_path, monkeypatch):
+    """TRAIN-mode forward parity (BatchNorm normalizes by batch statistics)
+    plus running-stat update parity, dropout zeroed on both sides.
+
+    Flax momentum 0.9 == torch momentum 0.1 for the running means exactly;
+    torch feeds the UNBIASED batch variance into running_var while flax
+    uses the biased one — a known n/(n-1) factor (<=0.4% at these batch
+    shapes), asserted with a matching rtol and documented here rather than
+    patched into the model."""
+    from eda_tpu.config import ModelConfig
+    from eda_tpu.models import EDAGrounder
+    from eda_tpu.models.tokenizer import HFTokenizer
+    from eda_tpu.train.convert import convert_eda_checkpoint, merge_into
+
+    monkeypatch.chdir(REF)
+    torch.manual_seed(11)
+    ref = ref_bdetr.BeaUTyDETR(
+        num_class=256, num_obj_class=485, input_feature_dim=3,
+        num_queries=NUM_QUERIES, num_decoder_layers=NUM_DEC,
+        self_position_embedding="loc_learned", contrastive_align_loss=True,
+        d_model=288, butd=False, pointnet_ckpt=None,
+        data_path=roberta_data_path, self_attend=True,
+    )
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0  # internal float, not an nn.Dropout module
+
+    # capture weights BEFORE the train-mode forward mutates the running
+    # stats (and copy: torch .numpy() shares the live buffers)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(21)
+    inputs = _inputs(rng, False)
+    with torch.no_grad():
+        ref_ep = ref(
+            {
+                k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+                for k, v in inputs.items()
+            }
+        )
+
+    hf_cfg = json.load(open(roberta_data_path + "roberta-base/config.json"))
+    cfg = dataclasses.replace(
+        ModelConfig(),
+        num_points=N_POINTS, num_queries=NUM_QUERIES,
+        num_decoder_layers=NUM_DEC, sa_impl="gather", sa_ball_mode="first",
+        points_presorted=False, butd=False, dropout=0.0,
+        text_vocab_size=hf_cfg["vocab_size"], text_hidden=hf_cfg["hidden_size"],
+        text_layers=hf_cfg["num_hidden_layers"],
+        text_heads=hf_cfg["num_attention_heads"],
+        text_intermediate=hf_cfg["intermediate_size"], use_bf16=False,
+    )
+    tok = HFTokenizer(roberta_data_path + "roberta-base")
+    L = max(len(tok._tok(t)["input_ids"]) for t in TEXT)
+    batch_tok = tok.encode_batch(TEXT, max_len=L)
+    our_inputs = {
+        "point_clouds": jnp.asarray(inputs["point_clouds"]),
+        "text_ids": jnp.asarray(batch_tok.input_ids),
+        "text_mask": jnp.asarray(batch_tok.attention_mask),
+    }
+    model = EDAGrounder(cfg)
+    variables = model.init(jax.random.key(0), our_inputs, train=False)
+    params, stats = convert_eda_checkpoint(sd, cfg)
+    merged_params, _ = merge_into(variables["params"], params)
+    merged_stats, _ = merge_into(variables["batch_stats"], stats)
+    ours, mutated = model.apply(
+        {"params": merged_params, "batch_stats": merged_stats},
+        our_inputs,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(1)},
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(ours["seed_inds"]), ref_ep["seed_inds"].numpy()
+    )
+    # pre-query tensors only: the train-mode batch-stat normalization
+    # amplifies cross-framework float noise to ~2e-3 on the KPS logits,
+    # which flips top-64 boundary picks — query identity can't be asserted
+    # here (the decoder path is pinned by the eval-mode test; THIS test
+    # pins BN train-mode normalization and the running-stat updates)
+    for key, ref_t, atol in (
+        ("sa1_features", ref_ep["sa1_features"].transpose(1, 2), 1e-4),
+        ("fp2_features", ref_ep["fp2_features"].transpose(1, 2), 1e-3),
+        ("seed_features", ref_ep["seed_features"].transpose(1, 2), 5e-3),
+        ("seeds_obj_cls_logits", ref_ep["seeds_obj_cls_logits"].squeeze(1), 5e-3),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours[key], np.float32),
+            ref_t.numpy(),
+            atol=atol,
+            err_msg=key,
+        )
+
+    # BN running-stat updates: sa1 layer-0 BN (flax path
+    # backbone_net/sa1/SharedMLP_0/BatchNorm_0 vs torch sa1.mlp_module
+    # .layer0.bn.bn) — torch momentum 0.1 <-> flax 0.9
+    new_stats = mutated["batch_stats"]
+    ref_sd = ref.state_dict()
+    got = new_stats["backbone_net"]["sa1"]["SharedMLP_0"]["BatchNorm_0"]
+    want_mean = ref_sd["backbone_net.sa1.mlp_module.layer0.bn.bn.running_mean"].numpy()
+    want_var = ref_sd["backbone_net.sa1.mlp_module.layer0.bn.bn.running_var"].numpy()
+    np.testing.assert_allclose(np.asarray(got["mean"]), want_mean, atol=1e-5)
+    # unbiased-vs-biased batch variance: n/(n-1) on the update term only
+    np.testing.assert_allclose(np.asarray(got["var"]), want_var, rtol=5e-3)
