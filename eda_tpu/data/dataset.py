@@ -156,6 +156,16 @@ class GroundingDataset:
             tokenizer=tokenizer,
             augment_det=getattr(args, "augment_det", False),
             detected_dir=osp.join(args.data_root, "group_free_pred_bboxes"),
+            use_height=getattr(args, "use_height", False),
+            # reference multiview store path (joint_det_dataset.py:102-105)
+            multiview_path=(
+                osp.join(
+                    args.data_root, "scanrefer_2d_feats",
+                    "enet_feats_maxpool.hdf5",
+                )
+                if getattr(args, "use_multiview", False)
+                else None
+            ),
         )
 
     def __len__(self) -> int:

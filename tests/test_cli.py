@@ -35,3 +35,17 @@ def test_eval_flags():
     args = train.parse_args(["--eval", "--checkpoint_path", "/tmp/x", "--wo_obj_name", "/tmp/y.json"])
     assert args.eval and args.checkpoint_path == "/tmp/x"
     assert args.wo_obj_name == "/tmp/y.json"
+
+
+def test_input_feature_dim_counts_all_channels():
+    """input_feature_dim = 3*color + 1*height + 128*multiview
+    (reference num_input_channel, train_dist_mod.py:92-96)."""
+    args = train.parse_args(
+        ["--dataset", "synthetic", "--use_color", "--use_height",
+         "--use_multiview"]
+    )
+    model, _, _ = train.build_configs(args)
+    assert model.input_feature_dim == 3 + 1 + 128
+    args = train.parse_args(["--dataset", "synthetic", "--use_height"])
+    model, _, _ = train.build_configs(args)
+    assert model.input_feature_dim == 1

@@ -325,3 +325,34 @@ def test_tokenizer_fallback_refuses_in_eval_mode(fake_scan_dir, tmp_path):
     root = _scanrefer_root(fake_scan_dir, tmp_path)
     with pytest.raises(RuntimeError, match="SimpleTokenizer"):
         GroundingDataset.from_args(_args(root, eval_mode=True), "val")
+
+
+def test_height_and_multiview_channels(fake_scan_dir, tmp_path, rng):
+    """use_height rides the PRE-augmentation cloud and multiview features
+    load from the HDF5 store, producing (N, 3+3+1+128) point clouds
+    (joint_det_dataset.py:411-418, 481-505)."""
+    import h5py
+
+    from eda_tpu.data.decouple import decoupled_spans
+
+    scan_dir, scan_id = fake_scan_dir
+    scan = Scan(scan_id, scan_dir)
+    mv_path = tmp_path / "enet_feats_maxpool.hdf5"
+    with h5py.File(mv_path, "w") as f:
+        f[scan_id] = rng.normal(size=(len(scan.pc), 128)).astype(np.float32)
+    annos = [
+        {
+            "scan_id": scan_id, "target_id": 0, "distractor_ids": [],
+            "utterance": "the chair", "target": "chair", "anchors": [],
+            "anchor_ids": [], "dataset": "scanrefer",
+            "decoupled": decoupled_spans("the chair . not mentioned"),
+        }
+    ]
+    ds = GroundingDataset(
+        {scan_id: scan}, annos, split="train", augment=True, vocab_size=512,
+        use_height=True, multiview_path=str(mv_path),
+    )
+    ex = ds.example(0)
+    pc = ex["inputs"]["point_clouds"]
+    assert pc.shape == (len(scan.pc), 3 + 3 + 1 + 128)
+    assert np.isfinite(pc).all()

@@ -113,7 +113,13 @@ def build_configs(args):
         num_points=args.num_points,
         sa_impl=args.sa_impl,
         use_bf16=args.use_bf16,
-        input_feature_dim=3 if args.use_color else 0,
+        # per-point channels beyond xyz: RGB + height + 128-d multiview
+        # (reference num_input_channel, train_dist_mod.py:92-96)
+        input_feature_dim=(
+            3 * int(args.use_color)
+            + int(args.use_height)
+            + 128 * int(args.use_multiview)
+        ),
     )
     if args.debug and args.dataset == ["synthetic"]:
         model = model.tiny()
