@@ -670,3 +670,70 @@ def test_grounding_evaluator_parity(ref_grounding_evaluator, butd_cls):
     for key, ref_val in ref.gts.items():
         got = ours.gts[key]
         assert got == pytest.approx(ref_val, abs=1.0), (key, got, ref_val)
+
+
+def test_hungarian_loss_gradient_parity(ref_losses):
+    """d(total loss)/d(predictions) matches torch autograd through the
+    reference compute_hungarian_loss — pins masking/normalizer gradients
+    (focal, soft-token CE, GIoU, InfoNCE) that value checks can hide.
+    The matcher assignment and KPS top-k are discrete on both sides."""
+    d = _fabricate(seed=5)
+    grad_keys = (
+        ["seeds_obj_cls_logits", "proj_tokens"]
+        + [
+            f"{p}{k}"
+            for p in ["proposal_", "last_"]
+            + [f"{i}head_" for i in range(NUM_DEC - 1)]
+            for k in ("center", "pred_size", "sem_cls_scores", "proj_queries")
+        ]
+    )
+
+    # ---- torch side ----
+    matcher = ref_losses.HungarianMatcher(
+        cost_class=1, cost_bbox=0, cost_giou=2, soft_token=True
+    )
+    criterion = ref_losses.SetCriterion(
+        matcher=matcher,
+        losses=["boxes", "labels", "contrastive_align"],
+        eos_coef=0.1,
+        temperature=0.07,
+    )
+    ep_t = _ref_end_points(d, "scanrefer")
+    leaves = {}
+    for k in grad_keys:
+        ep_t[k] = ep_t[k].clone().requires_grad_(True)
+        leaves[k] = ep_t[k]
+    loss, _ = ref_losses.compute_hungarian_loss(
+        ep_t, NUM_DEC, criterion, query_points_obj_topk=TOPK
+    )
+    loss.backward()
+    ref_grads = {
+        k: (v.grad.numpy() if v.grad is not None else np.zeros(v.shape))
+        for k, v in leaves.items()
+    }
+
+    # ---- ours ----
+    cfg = SetCriterionConfig(
+        num_decoder_layers=NUM_DEC, dataset="scanrefer",
+        query_points_obj_topk=TOPK,
+    )
+    end_points, targets = _our_inputs(d)
+
+    def total(diff_ep):
+        ep = dict(end_points)
+        ep.update(diff_ep)
+        loss, _ = compute_hungarian_loss(cfg, ep, targets)
+        return loss
+
+    diff_ep = {k: end_points[k] for k in grad_keys if k in end_points}
+    our_grads = jax.jit(jax.grad(total))(diff_ep)
+
+    for k in grad_keys:
+        want = ref_grads[k]
+        if k == "seeds_obj_cls_logits":
+            want = want.squeeze(1)  # ref holds (B, 1, K)
+        got = np.asarray(our_grads[k], np.float32)
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(
+            got, want, atol=max(2e-4 * scale, 1e-7), err_msg=k
+        )
