@@ -194,11 +194,16 @@ class GroundingDataset:
             self._multiview_file = h5py.File(self.multiview_path, "r")
         feats = np.asarray(self._multiview_file[scan_id], np.float32)
         n = len(self.scans[scan_id].pc)
-        if len(feats) < n:  # pad short stores
-            feats = np.concatenate(
-                [feats, np.zeros((n - len(feats), feats.shape[1]), np.float32)]
+        if len(feats) != n:
+            # the reference concatenates rows 1:1 against the downsampled
+            # cloud (joint_det_dataset.py:487-490): any other count means
+            # the store doesn't correspond to these points — padding or
+            # truncating would silently misalign every feature
+            raise ValueError(
+                f"multiview store for {scan_id} has {len(feats)} rows but "
+                f"the packed scan keeps {n} points"
             )
-        return feats[:n]
+        return feats
 
     def _load_detected(self, scan_id: str):
         """GroupFree per-scan detections (``joint_det_dataset.py:785-824``):

@@ -70,6 +70,8 @@ class DetectionPromptDataset:
         tokenizer=None,
         vocab_size: int = 50265,
         seed: int = 0,
+        use_height: bool = False,
+        multiview_path: str = None,
     ):
         # keep scans with >= 1 object in the 485-class vocabulary
         # (load_scannet_annos, joint_det_dataset.py:346-354), ordered by the
@@ -105,6 +107,8 @@ class DetectionPromptDataset:
         self.scans = scans
         self.split = split
         self.use_color = use_color
+        self.use_height = use_height
+        self.multiview_path = multiview_path
         self.augment = augment and split == "train"
         self.text_len = text_len
         self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
@@ -175,6 +179,26 @@ class DetectionPromptDataset:
 
         xyz = scan.pc.copy()
         color = scan.color - MEAN_RGB if self.use_color else None
+        # height rides the PRE-augmentation cloud (joint_det_dataset.py:481-505)
+        height = None
+        if self.use_height:
+            floor = np.percentile(xyz[:, 2], 0.99)
+            height = (xyz[:, 2] - floor)[:, None].astype(np.float32)
+        multiview = None
+        if self.multiview_path:
+            import h5py
+
+            if not hasattr(self, "_multiview_file"):
+                self._multiview_file = h5py.File(self.multiview_path, "r")
+            multiview = np.asarray(
+                self._multiview_file[self.scan_ids[idx % len(self.scan_ids)]],
+                np.float32,
+            )
+            if len(multiview) != len(xyz):
+                raise ValueError(
+                    f"multiview store has {len(multiview)} rows but the "
+                    f"scan keeps {len(xyz)} points"
+                )
         point_instance = -np.ones(len(xyz), np.int32)
         for slot, o in enumerate(target_objs):
             point_instance[scan.three_d_objects[o]["points"]] = slot
@@ -229,12 +253,20 @@ class DetectionPromptDataset:
                 tok, 0, [(start, start + len(name))]
             )
 
+        arrays = [
+            a for a in (color, height, multiview, point_instance)
+            if a is not None
+        ]
+        sorted_all = morton_sort(xyz, *arrays)
+        xyz, rest = sorted_all[0], list(sorted_all[1:])
+        pc = xyz.astype(np.float32)
         if color is not None:
-            xyz, color, point_instance = morton_sort(xyz, color, point_instance)
-            pc = np.concatenate([xyz, color], -1).astype(np.float32)
-        else:
-            xyz, point_instance = morton_sort(xyz, point_instance)
-            pc = xyz.astype(np.float32)
+            pc = np.concatenate([pc, rest.pop(0).astype(np.float32)], -1)
+        if height is not None:
+            pc = np.concatenate([pc, rest.pop(0).astype(np.float32)], -1)
+        if multiview is not None:
+            pc = np.concatenate([pc, rest.pop(0).astype(np.float32)], -1)
+        point_instance = rest.pop(0)
 
         zeros = np.zeros((G, MAX_TOKENS), np.float32)
         inputs = {

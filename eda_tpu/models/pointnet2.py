@@ -83,10 +83,12 @@ class SetAbstraction(nn.Module):
         new_xyz = pointops.gather_points(xyz, inds)
         if self.ball_mode == "first":
             nbr = pointops.ball_query(xyz, new_xyz, self.radius, self.nsample)
-        else:
+        elif self.ball_mode == "nearest":
             nbr = pointops.ball_query_nearest(
                 xyz, new_xyz, self.radius, self.nsample
             )
+        else:
+            raise ValueError(f"unknown ball_mode {self.ball_mode!r}")
         grouped_xyz = pointops.group_points(xyz, nbr) - new_xyz[:, :, None, :]
         grouped_xyz = grouped_xyz / self.radius  # normalize_xyz
         if features is not None:
@@ -198,9 +200,11 @@ class FusedSetAbstraction(nn.Module):
 
 
 class FeaturePropagation(nn.Module):
-    """FP layer: 3-NN inverse-square-distance interpolation + shared MLP.
+    """FP layer: 3-NN inverse-DISTANCE interpolation + shared MLP.
 
-    Reference ``pointnet2/pointnet2_modules.py:356-416``.
+    Reference ``pointnet2/pointnet2_modules.py:356-416``; the weights are
+    ``1/(sqrt(d2)+1e-8)`` — the ThreeNN wrapper sqrt's its distances
+    (``pointnet2_utils.py:151``), see ``pointops.interpolation_weights``.
     """
 
     mlp_channels: Sequence[int]

@@ -173,3 +173,25 @@ def test_det_eval_gt_classes_match_dataset_targets(rng):
         if raw_to_nyu40().get(o["instance_label"]) in nyu18
     ]
     assert keep == [2, 3]  # chair, sofa (id-keyed, unlike the ScanRefer pass)
+
+
+def test_prompt_dataset_height_multiview_channels(rng, tmp_path):
+    """--joint_det with height/multiview: prompt examples carry the same
+    channel layout as the grounding examples, so MixedDataset batches stack."""
+    import h5py
+
+    scans = {"scene0": FakeScan(rng)}
+    mv = tmp_path / "mv.hdf5"
+    with h5py.File(mv, "w") as f:
+        f["scene0"] = rng.normal(size=(len(scans["scene0"].pc), 128)).astype(
+            np.float32
+        )
+    ds = DetectionPromptDataset(
+        scans, split="val", augment=False, vocab_size=512,
+        use_height=True, multiview_path=str(mv),
+    )
+    ex = ds.example(0)
+    assert ex["inputs"]["point_clouds"].shape == (
+        len(scans["scene0"].pc), 3 + 3 + 1 + 128,
+    )
+    assert np.isfinite(ex["inputs"]["point_clouds"]).all()

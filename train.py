@@ -147,6 +147,7 @@ def build_configs(args):
         data_root=args.data_root,
         use_color=args.use_color,
         use_height=args.use_height,
+        use_multiview=args.use_multiview,
         augment=args.augment,
         augment_det=args.augment_det,
         detect_intermediate=args.detect_intermediate,
@@ -225,6 +226,8 @@ def make_loader(args, model_cfg, split: str, for_eval: bool = False):
             ds.scans, split=split, use_color=args.use_color,
             augment=getattr(args, "augment", True),
             tokenizer=ds.tokenizer,  # shared vocab with the grounding data
+            use_height=getattr(args, "use_height", False),
+            multiview_path=ds.multiview_path,
         )
         ds = MixedDataset([ds, det], multipliers=[1, 10])
     return ds, len(ds)
@@ -540,7 +543,15 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
 
     scans = load_packed_scans(os.path.join(args.data_root, "val_v3scans.pkl"))
     ds = DetectionPromptDataset(
-        scans, split="val", use_color=args.use_color, augment=False
+        scans, split="val", use_color=args.use_color, augment=False,
+        use_height=getattr(args, "use_height", False),
+        multiview_path=(
+            os.path.join(
+                args.data_root, "scanrefer_2d_feats", "enet_feats_maxpool.hdf5"
+            )
+            if getattr(args, "use_multiview", False)
+            else None
+        ),
     )
     eval_fn = make_eval_step(model)
     calc = APCalculator(iou_thresh=0.25)
