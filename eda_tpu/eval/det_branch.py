@@ -62,7 +62,7 @@ def project_soft_tokens(
 
 
 def evaluate_detection_batch(
-    calc: APCalculator,
+    calc,
     end_points: Dict,
     targets: Dict,
     gt_classes: np.ndarray,
@@ -71,8 +71,11 @@ def evaluate_detection_batch(
     prefix: str = "last_",
     valid: np.ndarray = None,
 ):
-    """Accumulate one batch into the APCalculator.
+    """Accumulate one batch into the APCalculator(s).
 
+    ``calc`` may be a single APCalculator or a list (one per IoU threshold,
+    like the reference's ap_calculator_list, train_dist_mod.py:234-241 —
+    predictions are parsed once and stepped into each).
     ``valid`` (B,) bool marks real rows; padded tail rows (the jit batch is
     fixed-size, the val split usually isn't a multiple of it) are dropped
     before scoring, matching the reference's full-split iteration
@@ -97,4 +100,5 @@ def evaluate_detection_batch(
     if valid is not None:
         preds = [p for p, v in zip(preds, valid) if v]
         gts = [g for g, v in zip(gts, valid) if v]
-    calc.step(preds, gts)
+    for c in (calc if isinstance(calc, (list, tuple)) else [calc]):
+        c.step(preds, gts)

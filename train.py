@@ -48,7 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--butd_gt", action="store_true")
     p.add_argument("--butd_cls", action="store_true")
     # model
-    p.add_argument("--num_queries", type=int, default=256)
+    p.add_argument("--num_queries", "--num_target", dest="num_queries",
+                   type=int, default=256,
+                   help="query count (the reference calls this --num_target)")
+    p.add_argument("--num_encoder_layers", type=int, default=3)
+    p.add_argument("--sampling", default="kps",
+                   help="query sampling (only 'kps' exists, like the reference default)")
     p.add_argument("--num_decoder_layers", type=int, default=6)
     p.add_argument("--self_position_embedding", default="loc_learned")
     p.add_argument("--self_attend", action="store_true", default=True)
@@ -72,12 +77,24 @@ def parse_args(argv=None):
     p.add_argument("--warmup-multiplier", dest="warmup_multiplier", type=int,
                    default=100)
     p.add_argument("--clip_norm", type=float, default=0.1)
+    p.add_argument("--optimizer", default="adamW",
+                   help="only adamW is implemented (the reference default)")
+    p.add_argument("--bn_momentum", type=float, default=0.1,
+                   help="torch-convention BN momentum (flax uses 1 - this)")
+    p.add_argument("--syncbn", action="store_true",
+                   help="accepted for compatibility; BN stats are always "
+                        "global under the jitted global-view step")
+    p.add_argument("--start_epoch", type=int, default=1,
+                   help="accepted for compatibility; auto-resume restores "
+                        "the epoch from the checkpoint")
     # io
     p.add_argument("--log_dir", default="logs/eda_tpu")
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--save_freq", type=int, default=5)
     p.add_argument("--val_freq", type=int, default=5)
     p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--ap_iou_thresholds", type=float, nargs="+",
+                   default=[0.25, 0.5])
     # run mode
     p.add_argument("--eval", action="store_true")
     p.add_argument("--eval_train", action="store_true",
@@ -97,6 +114,10 @@ def parse_args(argv=None):
                    help="alternative ScanRefer annotations without object names (eval variant)")
     args = p.parse_args(argv)
     args.eval = args.eval or args.eval_train  # main_utils.py:122
+    if args.sampling != "kps":
+        p.error(f"--sampling {args.sampling}: only 'kps' is implemented")
+    if args.optimizer.lower() != "adamw":
+        p.error(f"--optimizer {args.optimizer}: only adamW is implemented")
     return args
 
 
@@ -106,6 +127,7 @@ def build_configs(args):
     model = ModelConfig(
         num_queries=args.num_queries,
         num_decoder_layers=args.num_decoder_layers,
+        num_encoder_layers=args.num_encoder_layers,
         self_position_embedding=args.self_position_embedding,
         self_attend=args.self_attend,
         contrastive_align=args.use_contrastive_align,
@@ -554,7 +576,10 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
         ),
     )
     eval_fn = make_eval_step(model)
-    calc = APCalculator(iou_thresh=0.25)
+    # one calculator per threshold (reference ap_calculator_list,
+    # train_dist_mod.py:234-241)
+    thresholds = list(getattr(args, "ap_iou_thresholds", [0.25, 0.5]))
+    calcs = [APCalculator(iou_thresh=t) for t in thresholds]
     bsz = max(args.batch_size, 1)
     if mesh is not None:
         n_dev = mesh.shape["data"]
@@ -589,12 +614,17 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
             ][:MAX_NUM_OBJ]
             gt_classes[i, : len(keep)] = keep
         evaluate_detection_batch(
-            calc, end_points, batch_np["targets"], gt_classes, tok, caption,
+            calcs, end_points, batch_np["targets"], gt_classes, tok, caption,
             valid=valid,
         )
-    metrics = calc.compute_metrics()
-    logger.info("detection mAP@0.25: %.4f", metrics["mAP"])
-    return metrics
+    out = {}
+    for t, calc in zip(thresholds, calcs):
+        metrics = calc.compute_metrics()
+        logger.info("detection mAP@%.2f: %.4f", t, metrics["mAP"])
+        out[f"mAP@{t}"] = metrics["mAP"]
+        if "mAP" not in out or t > 0.3:  # headline like the reference (:314)
+            out["mAP"] = metrics["mAP"]
+    return out
 
 
 if __name__ == "__main__":
