@@ -11,6 +11,7 @@ python train.py \
     --use_soft_token_loss --use_contrastive_align \
     --self_attend --butd_cls \
     --lr 1e-4 --lr_backbone 1e-3 \
-    --batch_size 12 \
+    --batch_size 12 --val_freq 3 --save_freq 3 --print_freq 500 \
+    ${PP_CHECKPOINT:+--pp_checkpoint "$PP_CHECKPOINT"} \
     --log_dir "${LOG_DIR:-logs/sr3d}" \
     "$@"
