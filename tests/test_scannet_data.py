@@ -356,3 +356,47 @@ def test_height_and_multiview_channels(fake_scan_dir, tmp_path, rng):
     pc = ex["inputs"]["point_clouds"]
     assert pc.shape == (len(scan.pc), 3 + 3 + 1 + 128)
     assert np.isfinite(pc).all()
+
+
+def _sr3d_anno(scan_id, dataset="sr3d", utterance="the chair near the table"):
+    from eda_tpu.data.decouple import decoupled_spans
+
+    return {
+        "scan_id": scan_id, "target_id": 0, "distractor_ids": [],
+        "utterance": utterance, "target": "chair", "anchors": ["table"],
+        "anchor_ids": [1], "dataset": dataset,
+        "decoupled": decoupled_spans(utterance + " . not mentioned"),
+    }
+
+
+@pytest.mark.parametrize("dataset,expect_row1", [
+    ("sr3d", True),    # auxi box resolves (a table exists near the chair)
+    ("sr3d+", False),  # reference fills row 1 for 'sr3d' only (:676-677)
+])
+def test_auxi_row1_gating(fake_scan_dir, dataset, expect_row1):
+    """Row 1 of the target positive map carries the auxi token map ONLY for
+    sr3d AND when the auxi pseudo-box resolves (joint_det_dataset.py:676-677,
+    756-783); it stays zero for sr3d+ and unresolvable auxi entities."""
+    scan_dir, scan_id = fake_scan_dir
+    scan = Scan(scan_id, scan_dir)
+    ds = GroundingDataset(
+        {scan_id: scan}, [_sr3d_anno(scan_id, dataset)], split="val",
+        augment=False, vocab_size=512,
+    )
+    ex = ds.example(0)
+    assert ex["targets"]["box_label_mask"][:2].sum() == 2  # chair + anchor
+    row1 = ex["targets"]["positive_map"][1]
+    assert (row1.sum() > 0) == expect_row1
+
+
+def test_auxi_row1_zero_when_no_matching_scene_box(fake_scan_dir):
+    """An auxi entity with no same-class scene box nearby leaves row 1
+    zero (the reference's dis_min search returns None)."""
+    scan_dir, scan_id = fake_scan_dir
+    scan = Scan(scan_id, scan_dir)
+    anno = _sr3d_anno(scan_id, utterance="the chair near the lamp")
+    ds = GroundingDataset(
+        {scan_id: scan}, [anno], split="val", augment=False, vocab_size=512,
+    )
+    ex = ds.example(0)
+    assert ex["targets"]["positive_map"][1].sum() == 0
