@@ -724,3 +724,117 @@ def test_scan_loader_parity(ref_jd, tmp_path, monkeypatch):
         np.testing.assert_allclose(
             ours.get_object_bbox(o_ours["object_id"]), ref_cxyzwhd, atol=2e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Detected-box loader + augmentation co-transform (_get_detected_objects)
+# ---------------------------------------------------------------------------
+
+
+def _write_groupfree_npy(tmp_path, scan_id, rng, split="train"):
+    d = tmp_path / "group_free_pred_bboxes" / f"group_free_pred_bboxes_{split}"
+    d.mkdir(parents=True, exist_ok=True)
+    lo = rng.uniform(-2, 0, (5, 3))
+    hi = lo + rng.uniform(0.3, 1.5, (5, 3))
+    corners = np.concatenate([lo, hi], -1).astype(np.float32)
+    classes = ["chair", "table", "sofa", "trash can", "lamp"]
+    np.save(
+        d / f"{scan_id}.npy",
+        {"box": corners, "class": classes, "logits": np.zeros((5, 485))},
+    )
+    return corners, classes
+
+
+def _ref_det_stub(ref_jd, tmp_path, augment):
+    import csv as _csv
+
+    label_map = {}
+    with open(f"{REF}/data/meta_data/scannetv2-labels.combined.tsv") as f:
+        for row in _csv.DictReader(f, delimiter="\t"):
+            label_map[row["raw_category"]] = int(row["id"])
+    return types.SimpleNamespace(
+        data_path=str(tmp_path) + "/",
+        butd=True,
+        butd_cls=False,
+        augment=augment,
+        augment_det=False,
+        split="train",
+        label_map=label_map,
+    )
+
+
+def test_detected_objects_loader_parity_no_flip(ref_jd, tmp_path):
+    """_get_detected_objects parity without flips: box conversion, 485-way
+    class ids, and the rot/shift/scale co-transform all match
+    (joint_det_dataset.py:785-835)."""
+    from eda_tpu.data.augment import Augmentation, _rot
+    from eda_tpu.data.class_config import instance_label_to_class485
+
+    rng = np.random.default_rng(9)
+    scan_id = "scene0000_00"
+    corners, classes = _write_groupfree_npy(tmp_path, scan_id, rng)
+    augmentations = {
+        "theta_z": 37.0, "theta_x": 1.5, "theta_y": -2.0,
+        "yz_flip": False, "xz_flip": False,
+        "shift": np.array([[0.1, -0.2, 0.3]]), "scale": 1.01,
+    }
+    stub = _ref_det_stub(ref_jd, tmp_path, augment=True)
+    ref_boxes, ref_mask, ref_cids, _ = ref_jd.Joint3DDataset._get_detected_objects(
+        stub, "train", scan_id, augmentations
+    )
+
+    boxes = np.concatenate(
+        [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
+        -1,
+    )
+    aug = Augmentation(
+        rotation=_rot(-2.0, 1) @ _rot(1.5, 0) @ _rot(37.0, 2),
+        flip_x=False, flip_y=False,
+        shift=np.array([0.1, -0.2, 0.3]), scale=1.01,
+    )
+    ours = aug.apply_boxes(boxes)
+    np.testing.assert_allclose(ours, ref_boxes[:5], atol=1e-5)
+    assert not ref_mask[5:].any() and ref_mask[:5].all()
+    want_cids = [instance_label_to_class485(c) for c in classes]
+    assert ref_cids[:5].astype(int).tolist() == want_cids
+
+
+def test_detected_box_flip_deviation_documented(ref_jd, tmp_path):
+    """Under a flip the reference rotates THEN flips detected boxes while
+    flipping its point cloud BEFORE rotating — leaving the boxes rotated
+    away from the scene (augment.Augmentation.apply_boxes docstring). We
+    keep boxes consistent with the cloud: this test pins that the two
+    genuinely differ under a flip AND that ours matches the point
+    transform."""
+    from eda_tpu.data.augment import Augmentation, _rot
+
+    rng = np.random.default_rng(10)
+    scan_id = "scene0000_00"
+    corners, _ = _write_groupfree_npy(tmp_path, scan_id, rng)
+    augmentations = {
+        "theta_z": 95.0, "theta_x": 0.0, "theta_y": 0.0,
+        "yz_flip": True, "xz_flip": False,
+        "shift": np.array([[0.0, 0.0, 0.0]]), "scale": 1.0,
+    }
+    stub = _ref_det_stub(ref_jd, tmp_path, augment=True)
+    ref_boxes, _, _, _ = ref_jd.Joint3DDataset._get_detected_objects(
+        stub, "train", scan_id, augmentations
+    )
+
+    boxes = np.concatenate(
+        [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
+        -1,
+    )
+    aug = Augmentation(
+        rotation=_rot(95.0, 2), flip_x=True, flip_y=False,
+        shift=np.zeros(3), scale=1.0,
+    )
+    ours = aug.apply_boxes(boxes)
+    # the deviation is real: reference boxes land elsewhere under the flip
+    assert np.abs(ours - ref_boxes[:5]).max() > 0.5
+    # and ours rides the SAME composite as the point cloud
+    pts = ref_jd.box2points(boxes).reshape(-1, 3)
+    pts[:, 0] = -pts[:, 0]  # flip FIRST, like the reference's _augment
+    pts = ref_jd.rot_z(pts, 95.0)
+    want = ref_jd.points2box(pts.reshape(-1, 8, 3))
+    np.testing.assert_allclose(ours, want, atol=1e-5)
