@@ -25,7 +25,20 @@ from typing import Dict, FrozenSet, List, Set
 _META_DIR = os.path.join(os.path.dirname(__file__), "meta")
 LABELS_TSV = os.path.join(_META_DIR, "scannetv2-labels.combined.tsv")
 
-SCENE_NOUNS: FrozenSet[str] = frozenset(
+def _load_wordlist(name: str) -> FrozenSet[str]:
+    """A word list from the reference's sng_parser/_data (public vocabulary
+    data, ported verbatim like the typo tables; database.py:18-41)."""
+    path = os.path.join(_META_DIR, name)
+    out = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            out = {line.strip() for line in f if line.strip()}
+    return frozenset(out)
+
+
+# the reference's 402-entry scene-noun list (chunks headed by these become
+# Scene nodes, excluded from other/auxi maps) + our structural extras
+SCENE_NOUNS: FrozenSet[str] = _load_wordlist("scene-nouns.txt") | frozenset(
     """room corner center centre middle side end area entrance hallway kitchen
     bathroom bedroom office wall walls floor ceiling doorway alcove nook space
     edge top bottom front back left right row bunch set pair group scene
@@ -145,8 +158,12 @@ def lemma(word: str) -> str:
 
 @functools.lru_cache(maxsize=1)
 def object_nouns() -> FrozenSet[str]:
-    """Single-word object nouns: ScanNet categories + common extras."""
-    words: Set[str] = set(EXTRA_OBJECT_NOUNS)
+    """Single-word object nouns: ScanNet categories + common extras + the
+    reference's object-nouns list (database.is_object_noun is OR'd into the
+    Object check, spacy_parser.py:135-137)."""
+    words: Set[str] = set(EXTRA_OBJECT_NOUNS) | set(
+        _load_wordlist("object-nouns.txt")
+    )
     for phrase in object_phrases():
         if " " not in phrase:
             words.add(phrase)

@@ -465,8 +465,11 @@ CORPUS_R3 = [
     ("scanrefer", "a dresser with 4-drawers next to the bed .",
      {"main": ["dresser"], "relations": ["next", "to"],
       "others": ["drawers", "bed"], "auxi": ["drawers"]}),
+    # 'hole' (a scene-list noun mid-NP) joins the compound head like the
+    # reference's compound-to-head extension (spacy_parser.py:113-116)
     ("scanrefer", "the 8-hole shoe rack by the door .",
-     {"main": ["shoe", "rack"], "relations": ["by"], "others": ["door"]}),
+     {"main": ["hole", "shoe", "rack"], "relations": ["by"],
+      "others": ["door"]}),
     ("scanrefer", "the 7-shaped desk in the corner of the room .",
      # corner/room are Scene nouns -> excluded from others (spacy_parser
      # vocab filtering); '7 - shaped' numeral drops outside the noun chunk
