@@ -27,13 +27,11 @@ LABELS_TSV = os.path.join(_META_DIR, "scannetv2-labels.combined.tsv")
 
 def _load_wordlist(name: str) -> FrozenSet[str]:
     """A word list from the reference's sng_parser/_data (public vocabulary
-    data, ported verbatim like the typo tables; database.py:18-41)."""
+    data, ported verbatim like the typo tables; database.py:18-41). Missing
+    files raise: a silently empty list would quietly change every parse."""
     path = os.path.join(_META_DIR, name)
-    out = set()
-    if os.path.exists(path):
-        with open(path) as f:
-            out = {line.strip() for line in f if line.strip()}
-    return frozenset(out)
+    with open(path) as f:
+        return frozenset(line.strip() for line in f if line.strip())
 
 
 # the reference's 402-entry scene-noun list (chunks headed by these become

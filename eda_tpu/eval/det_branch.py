@@ -62,7 +62,7 @@ def project_soft_tokens(
 
 
 def evaluate_detection_batch(
-    calc,
+    calc: "APCalculator | list[APCalculator]",
     end_points: Dict,
     targets: Dict,
     gt_classes: np.ndarray,

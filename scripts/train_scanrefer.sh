@@ -1,6 +1,10 @@
 #!/usr/bin/env bash
 # Two-stage ScanRefer training (reference scripts/train_scanrefer.sh recipe:
 # lr 2e-4 / backbone 2e-3, decay at epochs 50 & 75, batch 12, --butd).
+if [ -z "${PP_CHECKPOINT:-}" ]; then
+  echo "warning: PP_CHECKPOINT unset — training WITHOUT the pretrained" \
+       "GroupFree backbone the reference recipe loads (gf_detector_l6o256.pth)" >&2
+fi
 python train.py \
     --use_color \
     --weight_decay 0.0005 \

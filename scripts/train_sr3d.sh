@@ -1,6 +1,10 @@
 #!/usr/bin/env bash
 # SR3D training (reference scripts/train_sr3d.sh: lr 1e-4 / 1e-3, decay 30 40,
 # --butd_cls oracle proposals).
+if [ -z "${PP_CHECKPOINT:-}" ]; then
+  echo "warning: PP_CHECKPOINT unset — training WITHOUT the pretrained" \
+       "GroupFree backbone the reference recipe loads (gf_detector_l6o256.pth)" >&2
+fi
 python train.py \
     --use_color \
     --weight_decay 0.0005 \

@@ -80,7 +80,8 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adamW",
                    help="only adamW is implemented (the reference default)")
     p.add_argument("--bn_momentum", type=float, default=0.1,
-                   help="torch-convention BN momentum (flax uses 1 - this)")
+                   help="accepted for compatibility; only the reference "
+                        "default 0.1 is implemented (a fixed constant)")
     p.add_argument("--syncbn", action="store_true",
                    help="accepted for compatibility; BN stats are always "
                         "global under the jitted global-view step")
@@ -118,6 +119,8 @@ def parse_args(argv=None):
         p.error(f"--sampling {args.sampling}: only 'kps' is implemented")
     if args.optimizer.lower() != "adamw":
         p.error(f"--optimizer {args.optimizer}: only adamW is implemented")
+    if args.bn_momentum != 0.1:
+        p.error("--bn_momentum: only the reference default 0.1 is implemented")
     return args
 
 
