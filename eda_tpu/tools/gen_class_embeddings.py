@@ -54,7 +54,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="class_embeddings3d.npy")
     parser.add_argument("--params", default=None, help="msgpack text-encoder params")
+    parser.add_argument(
+        "--accelerator", action="store_true",
+        help="use the default accelerator backend; the table is an offline "
+             "host artifact, so CPU is the default (the remote-TPU tunnel "
+             "need not be up to generate it)",
+    )
     args = parser.parse_args()
+    if not args.accelerator:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     params = None
     if args.params:
