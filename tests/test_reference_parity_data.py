@@ -838,3 +838,43 @@ def test_detected_box_flip_deviation_documented(ref_jd, tmp_path):
     pts = ref_jd.rot_z(pts, 95.0)
     want = ref_jd.points2box(pts.reshape(-1, 8, 3))
     np.testing.assert_allclose(ours, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Typo-table normalization (Scene_graph_parse's caption rewriting)
+# ---------------------------------------------------------------------------
+
+TYPO_UTTERANCES = [
+    "it's the 2-tiered shelf , next to the 4-drawers dresser .",
+    "the 5-drawer chest by the 8-hole rack and the 7-shaped desk .",
+    "a 2-door cabinet with a 3-compartment organizer on the computer/ desk .",
+    "the 3-tier stand near the 3-seater couch and the 4-seat bench .",
+    "theses chairs i'm looking at are brown .",
+]
+
+NR3D_TYPO_UTTERANCES = [
+    "the pillow; it's on the left-hand side (near the wheel-chair)",
+    "you're looking for the lamp. thats the one... isn't it?",
+    "doesnt matter which; itis the chair youre facing",
+    "Don't pick the one that cant be seen; they arent visible",
+    'the "big" mirror: $100 #1 choice / it’s great! id the room',
+]
+
+
+@pytest.mark.parametrize("dataset,utterances", [
+    ("scanrefer", TYPO_UTTERANCES),
+    ("nr3d", NR3D_TYPO_UTTERANCES),
+    ("sr3d", TYPO_UTTERANCES),
+])
+def test_typo_normalization_parity(ref_jd, dataset, utterances):
+    """normalize_utterance == the caption rewriting Scene_graph_parse
+    applies in place (joint_det_dataset.py:1313-1373), for the ScanRefer
+    table (every dataset) and the NR3D-only punctuation/contraction table,
+    with a parse stub that never prefixes."""
+    from eda_tpu.data.annotations import normalize_utterance
+
+    sys.modules["sng_parser"].parse = _fake_parse
+    for utt in utterances:
+        annos = [{"utterance": utt, "dataset": dataset}]
+        ref_jd.Scene_graph_parse(annos)
+        assert normalize_utterance(utt, dataset) == annos[0]["utterance"], utt
