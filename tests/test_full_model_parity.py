@@ -482,3 +482,81 @@ def test_full_model_train_mode_parity(ref_bdetr, roberta_data_path, monkeypatch)
     np.testing.assert_allclose(np.asarray(got["mean"]), want_mean, atol=1e-5)
     # unbiased-vs-biased batch variance: n/(n-1) on the update term only
     np.testing.assert_allclose(np.asarray(got["var"]), want_var, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_real_pth_checkpoint_ingestion(
+    ref_bdetr, roberta_data_path, tmp_path, monkeypatch
+):
+    """A torch .pth saved from the REAL reference module tree (DDP 'module.'
+    prefixes, the reference save_checkpoint payload) loads through
+    load_eda_pth into a full EDAGrounder variable tree — every param and
+    stat leaf covered, epoch restored — replacing the fabricated state-dict
+    fixture as the oracle for checkpoint ingestion."""
+    from eda_tpu.config import ModelConfig
+    from eda_tpu.models import EDAGrounder
+    from eda_tpu.models.tokenizer import HFTokenizer
+    from eda_tpu.train.convert import load_eda_pth
+
+    monkeypatch.chdir(REF)
+    torch.manual_seed(13)
+    ref = ref_bdetr.BeaUTyDETR(
+        num_class=256, num_obj_class=485, input_feature_dim=3,
+        num_queries=NUM_QUERIES, num_decoder_layers=NUM_DEC,
+        self_position_embedding="loc_learned", contrastive_align_loss=True,
+        d_model=288, butd=True, pointnet_ckpt=None,
+        data_path=roberta_data_path, self_attend=True,
+    )
+    payload = {
+        "config": {"dummy": True},
+        "model": {"module." + k: v for k, v in ref.state_dict().items()},
+        "optimizer": {},
+        "scheduler": {},
+        "epoch": 41,
+    }
+    pth = tmp_path / "ckpt_epoch_41.pth"
+    torch.save(payload, str(pth))
+
+    hf_cfg = json.load(open(roberta_data_path + "roberta-base/config.json"))
+    cfg = dataclasses.replace(
+        ModelConfig(),
+        num_points=2048, num_queries=NUM_QUERIES, num_decoder_layers=NUM_DEC,
+        sa_impl="gather", sa_ball_mode="first", points_presorted=False,
+        butd=True, text_vocab_size=hf_cfg["vocab_size"],
+        text_hidden=hf_cfg["hidden_size"],
+        text_layers=hf_cfg["num_hidden_layers"],
+        text_heads=hf_cfg["num_attention_heads"],
+        text_intermediate=hf_cfg["intermediate_size"], use_bf16=False,
+    )
+    tok = HFTokenizer(roberta_data_path + "roberta-base")
+    bt = tok.encode_batch(["the chair"], max_len=8)
+    rng = np.random.default_rng(0)
+    inputs = {
+        "point_clouds": jnp.asarray(
+            rng.uniform(-1, 1, (1, 2048, 6)).astype(np.float32)
+        ),
+        "text_ids": jnp.asarray(bt.input_ids),
+        "text_mask": jnp.asarray(bt.attention_mask),
+        "det_boxes": jnp.asarray(
+            rng.uniform(0, 1, (1, 132, 6)).astype(np.float32)
+        ),
+        "det_class_ids": jnp.zeros((1, 132), jnp.int32),
+        "det_mask": jnp.ones((1, 132), bool),
+    }
+    model = EDAGrounder(cfg)
+    variables = model.init(jax.random.key(0), inputs, train=False)
+
+    n_param_leaves = len(jax.tree_util.tree_leaves(variables["params"]))
+    n_stat_leaves = len(jax.tree_util.tree_leaves(variables["batch_stats"]))
+    logs = []
+    params, stats, start_epoch = load_eda_pth(
+        str(pth), variables["params"], variables["batch_stats"], cfg,
+        log=logs.append,
+    )
+    assert start_epoch == 42
+    msg = logs[0]
+    assert f"{n_param_leaves} param" in msg and f"{n_stat_leaves} stat" in msg
+    # converted values really landed (not the random init)
+    want = ref.state_dict()["points_obj_cls.conv3.bias"].numpy()
+    got = np.asarray(params["points_obj_cls"]["Dense_2"]["bias"])
+    np.testing.assert_allclose(got, want, atol=1e-7)
