@@ -162,9 +162,19 @@ def main():
     # serial FPS steps amortize across the batch): 141 vs 136 scenes/sec
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument(
+        "--fused_qkv",
+        type=int,
+        default=None,
+        help="override ModelConfig.fused_qkv (0/1) for A/B runs",
+    )
     args = parser.parse_args()
 
     cfg = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
+    if args.fused_qkv is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_qkv=bool(args.fused_qkv))
     batch_size = 2 if args.dry else args.batch
     text_len = 32 if args.dry else 64
 

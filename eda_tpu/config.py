@@ -68,6 +68,10 @@ class ModelConfig:
     text_max_len: int = 256
     # Precision: activations dtype for matmul-heavy paths.
     use_bf16: bool = False
+    # Attention-stack fusion: compute q/k/v projections whose inputs are the
+    # same tensor as one wide matmul (param tree identical to flax MHA, so
+    # checkpoints are interchangeable). Numerics match the unfused path.
+    fused_qkv: bool = False
 
     def tiny(self) -> "ModelConfig":
         """A miniature config for tests: same topology, toy widths."""

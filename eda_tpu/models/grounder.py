@@ -80,6 +80,7 @@ class EDAGrounder(nn.Module):
             num_layers=cfg.text_layers,
             heads=cfg.text_heads,
             intermediate=cfg.text_intermediate,
+            fused_qkv=cfg.fused_qkv,
             name="text_encoder",
         )(inputs["text_ids"], text_valid, train=train and not self.freeze_text_encoder)
         if self.freeze_text_encoder:
@@ -125,6 +126,7 @@ class EDAGrounder(nn.Module):
                 self_attend=cfg.self_attend,
                 use_butd_enc_attn=cfg.butd,
                 dtype=dtype,
+                fused_qkv=cfg.fused_qkv,
                 name=f"cross_encoder_{i}",
             )(
                 points_features,
@@ -199,6 +201,7 @@ class EDAGrounder(nn.Module):
                 self_position_embedding=cfg.self_position_embedding,
                 butd=cfg.butd,
                 dtype=dtype,
+                fused_qkv=cfg.fused_qkv,
                 name=f"decoder_{i}",
             )(
                 query,

@@ -37,6 +37,119 @@ def _attn_mask(valid: Optional[jnp.ndarray], q_len: int) -> Optional[jnp.ndarray
     )
 
 
+class _ProjParams(nn.Module):
+    """Parameter container matching ``nn.DenseGeneral``'s tree and init.
+
+    Declares ``kernel``/``bias`` with the exact shapes and initializer
+    semantics of the DenseGeneral that ``nn.MultiHeadDotProductAttention``
+    would create (lecun_normal drawn on the *flattened* 2-D shape, then
+    reshaped — flax's ``kernel_init_wrap``), so a checkpoint written by the
+    unfused path loads bit-identically into the fused one and vice versa.
+    """
+
+    in_dim: int
+    heads: int
+    head_dim: int
+    out: bool = False  # out projection: kernel (h, dh, d), bias (d,)
+
+    @nn.compact
+    def __call__(self):
+        if self.out:
+            kshape = (self.heads, self.head_dim, self.in_dim)
+            flat = (self.heads * self.head_dim, self.in_dim)
+            bshape = (self.in_dim,)
+        else:
+            kshape = (self.in_dim, self.heads, self.head_dim)
+            flat = (self.in_dim, self.heads * self.head_dim)
+            bshape = (self.heads, self.head_dim)
+        lecun = nn.initializers.lecun_normal()
+
+        def kinit(rng, shape, dtype=jnp.float32):
+            return jnp.reshape(lecun(rng, flat, dtype), shape)
+
+        kernel = self.param("kernel", kinit, kshape)
+        bias = self.param("bias", nn.initializers.zeros_init(), bshape)
+        return kernel, bias
+
+
+class _FusedMHACore(nn.Module):
+    """QKV-fused multi-head attention with flax-MHA-compatible params.
+
+    Semantics match ``nn.MultiHeadDotProductAttention`` exactly (same
+    projections, same ``nn.dot_product_attention`` core, same out
+    projection); the only difference is that projections whose *inputs are
+    the same array* are computed as one wide matmul:
+
+    * ``q is k is v``  -> one (d, 3·d) projection (language self-attention)
+    * ``q is k``       -> (d, 2·d) for q,k + separate v (vision/query
+                          self-attention, where q = k = x + pos)
+    * ``k is v``       -> separate q + (d, 2·d) for k,v (all cross-attention)
+
+    XLA does not merge these dots on its own (they are separate HLO dots
+    with distinct weight operands); fusing them trims the number of small
+    (288-wide) MXU launches in the 3-encoder/6-decoder stack by ~1/3.
+    """
+
+    d_model: int
+    n_heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask, *, deterministic: bool):
+        d, h = self.d_model, self.n_heads
+        dh = d // h
+        dt = self.dtype
+        # Declare in flax MHA order (query, key, value, out) with the same
+        # child names -> identical param tree AND identical init draws.
+        wq, bq = _ProjParams(q.shape[-1], h, dh, name="query")()
+        wk, bk = _ProjParams(k.shape[-1], h, dh, name="key")()
+        wv, bv = _ProjParams(v.shape[-1], h, dh, name="value")()
+        wo, bo = _ProjParams(d, h, dh, out=True, name="out")()
+        wq2, wk2, wv2 = (w.reshape(w.shape[0], h * dh) for w in (wq, wk, wv))
+        bq1, bk1, bv1 = (b.reshape(h * dh) for b in (bq, bk, bv))
+
+        def proj(x, w, b):
+            y = x.astype(dt) @ w.astype(dt) + b.astype(dt)
+            return y.reshape(*x.shape[:-1], -1, h, dh)
+
+        if q is k and k is v:
+            w = jnp.concatenate([wq2, wk2, wv2], axis=1)
+            b = jnp.concatenate([bq1, bk1, bv1])
+            qh, kh, vh = jnp.moveaxis(proj(q, w, b), -3, 0)
+        elif q is k:
+            w = jnp.concatenate([wq2, wk2], axis=1)
+            b = jnp.concatenate([bq1, bk1])
+            qh, kh = jnp.moveaxis(proj(q, w, b), -3, 0)
+            (vh,) = jnp.moveaxis(proj(v, wv2, bv1), -3, 0)
+        elif k is v:
+            (qh,) = jnp.moveaxis(proj(q, wq2, bq1), -3, 0)
+            w = jnp.concatenate([wk2, wv2], axis=1)
+            b = jnp.concatenate([bk1, bv1])
+            kh, vh = jnp.moveaxis(proj(k, w, b), -3, 0)
+        else:
+            (qh,) = jnp.moveaxis(proj(q, wq2, bq1), -3, 0)
+            (kh,) = jnp.moveaxis(proj(k, wk2, bk1), -3, 0)
+            (vh,) = jnp.moveaxis(proj(v, wv2, bv1), -3, 0)
+
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        x = nn.dot_product_attention(
+            qh,
+            kh,
+            vh,
+            mask=mask,
+            dropout_rng=dropout_rng,
+            dropout_rate=self.dropout,
+            broadcast_dropout=True,
+            deterministic=deterministic,
+            dtype=dt,
+        )
+        x = x.reshape(*x.shape[:-2], h * dh)
+        return x @ wo.reshape(h * dh, d).astype(dt) + bo.astype(dt)
+
+
 class MHA(nn.Module):
     """Multi-head attention with separate q/kv and a validity mask."""
 
@@ -44,9 +157,21 @@ class MHA(nn.Module):
     n_heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, valid: Optional[jnp.ndarray], *, train: bool):
+        mask = _attn_mask(valid, q.shape[1])
+        if self.fuse:
+            # Same param tree/init as the flax module below (the core is
+            # named to shadow flax's auto-assigned child name).
+            return _FusedMHACore(
+                self.d_model,
+                self.n_heads,
+                self.dropout,
+                self.dtype,
+                name="MultiHeadDotProductAttention_0",
+            )(q, k, v, mask, deterministic=not train)
         return nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             qkv_features=self.d_model,
@@ -54,21 +179,32 @@ class MHA(nn.Module):
             dropout_rate=self.dropout,
             deterministic=not train,
             dtype=self.dtype,
-        )(q, k, v, mask=_attn_mask(valid, q.shape[1]))
+        )(q, k, v, mask=mask)
 
 
 class ResidualAttn(nn.Module):
-    """x + dropout(attn) -> LayerNorm, the post-norm block used everywhere."""
+    """x + dropout(attn) -> LayerNorm, the post-norm block used everywhere.
+
+    ``k=None`` means "the keys are the queries" (self-attention where both
+    sides carry the position embedding): k is then *the same array object*
+    as q, which lets the fused MHA compute the q and k projections as one
+    matmul.
+    """
 
     d_model: int
     n_heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x, k, v, valid, *, train: bool, q_pos=None):
         q = x if q_pos is None else x + q_pos
-        a = MHA(self.d_model, self.n_heads, self.dropout, self.dtype)(
+        if k is None:
+            k = q
+        if v is None:
+            v = k
+        a = MHA(self.d_model, self.n_heads, self.dropout, self.dtype, self.fuse)(
             q, k, v, valid, train=train
         )
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
@@ -125,6 +261,7 @@ class BiEncoderLayer(nn.Module):
     self_attend: bool = True
     use_butd_enc_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -140,12 +277,12 @@ class BiEncoderLayer(nn.Module):
         train: bool,
     ):
         d, h, p, dt = self.d_model, self.n_heads, self.dropout, self.dtype
+        fu = self.fused_qkv
         if self.self_attend:
-            vq = vis_feats + pos_feats
-            vis_feats = ResidualAttn(d, h, p, dt, name="self_vis")(
-                vis_feats, vq, vis_feats, vis_valid, train=train, q_pos=pos_feats
+            vis_feats = ResidualAttn(d, h, p, dt, fu, name="self_vis")(
+                vis_feats, None, vis_feats, vis_valid, train=train, q_pos=pos_feats
             )
-            text_feats = ResidualAttn(d, h, p, dt, name="self_lang")(
+            text_feats = ResidualAttn(d, h, p, dt, fu, name="self_lang")(
                 text_feats, text_feats, text_feats, text_valid, train=train
             )
 
@@ -156,19 +293,19 @@ class BiEncoderLayer(nn.Module):
         # update — not the ffn_lv output. (Caught by the differential parity
         # test against the actual reference module.)
         text_kv = text_feats
-        text_feats = ResidualAttn(d, h, p, dt, name="cross_lv")(
+        text_feats = ResidualAttn(d, h, p, dt, fu, name="cross_lv")(
             text_feats, vis_feats, vis_feats, vis_valid, train=train
         )
         text_feats = FFN(d, self.dim_feedforward, p, dt, name="ffn_lv")(
             text_feats, train=train
         )
         # Vision attends to language (query gets pos embedding).
-        vis_feats = ResidualAttn(d, h, p, dt, name="cross_vl")(
+        vis_feats = ResidualAttn(d, h, p, dt, fu, name="cross_vl")(
             vis_feats, text_kv, text_kv, text_valid, train=train, q_pos=pos_feats
         )
         # Optional detected-box stream (butd).
         if self.use_butd_enc_attn and detected_feats is not None:
-            vis_feats = ResidualAttn(d, h, p, dt, name="cross_d")(
+            vis_feats = ResidualAttn(d, h, p, dt, fu, name="cross_d")(
                 vis_feats, detected_feats, detected_feats, detected_valid, train=train
             )
         vis_feats = FFN(d, self.dim_feedforward, p, dt, name="ffn_vl")(
@@ -192,6 +329,7 @@ class BiDecoderLayer(nn.Module):
     self_position_embedding: str = "loc_learned"
     butd: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -207,6 +345,7 @@ class BiDecoderLayer(nn.Module):
         train: bool,
     ) -> jnp.ndarray:
         d, h, p, dt = self.d_model, self.n_heads, self.dropout, self.dtype
+        fu = self.fused_qkv
         if self.self_position_embedding == "none":
             q_pos = None
         else:
@@ -214,19 +353,18 @@ class BiDecoderLayer(nn.Module):
                 query_loc, train=train
             )
 
-        qk = query if q_pos is None else query + q_pos
-        query = ResidualAttn(d, h, p, dt, name="self_attn")(
-            query, qk, query, None, train=train, q_pos=q_pos
+        query = ResidualAttn(d, h, p, dt, fu, name="self_attn")(
+            query, None, query, None, train=train, q_pos=q_pos
         )
-        query = ResidualAttn(d, h, p, dt, name="cross_l")(
+        query = ResidualAttn(d, h, p, dt, fu, name="cross_l")(
             query, text_feats, text_feats, text_valid, train=train, q_pos=q_pos
         )
         if self.butd and detected_feats is not None:
-            query = ResidualAttn(d, h, p, dt, name="cross_d")(
+            query = ResidualAttn(d, h, p, dt, fu, name="cross_d")(
                 query, detected_feats, detected_feats, detected_valid, train=train,
                 q_pos=q_pos,
             )
-        query = ResidualAttn(d, h, p, dt, name="cross_v")(
+        query = ResidualAttn(d, h, p, dt, fu, name="cross_v")(
             query, vis_feats, vis_feats, None, train=train, q_pos=q_pos
         )
         return FFN(d, self.dim_feedforward, p, dt, name="ffn")(query, train=train)

@@ -47,19 +47,29 @@ class RobertaLayer(nn.Module):
     heads: int
     intermediate: int
     dropout: float = 0.1
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, valid: jnp.ndarray, *, train: bool):
         mask = jnp.broadcast_to(
             valid[:, None, None, :], (h.shape[0], 1, h.shape[1], h.shape[1])
         )
-        a = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads,
-            qkv_features=self.hidden,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-            name="attention",
-        )(h, h, h, mask=mask)
+        if self.fused_qkv:
+            # q = k = v = h -> one (hidden, 3*hidden) projection; the param
+            # tree matches the flax module below (see layers._FusedMHACore).
+            from eda_tpu.models.layers import _FusedMHACore
+
+            a = _FusedMHACore(
+                self.hidden, self.heads, self.dropout, name="attention"
+            )(h, h, h, mask, deterministic=not train)
+        else:
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads,
+                qkv_features=self.hidden,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                name="attention",
+            )(h, h, h, mask=mask)
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
         h = nn.LayerNorm(epsilon=LAYER_NORM_EPS, name="attention_norm")(h + a)
         f = nn.Dense(self.intermediate, name="intermediate")(h)
@@ -78,6 +88,7 @@ class RobertaEncoder(nn.Module):
     heads: int = 12
     intermediate: int = 3072
     dropout: float = 0.1
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -94,6 +105,7 @@ class RobertaEncoder(nn.Module):
                 self.heads,
                 self.intermediate,
                 self.dropout,
+                self.fused_qkv,
                 name=f"layer_{i}",
             )(h, valid, train=train)
         return h
