@@ -469,9 +469,12 @@ class GroundingDataset:
                             "back to GT classes (NOT the reference "
                             "protocol's predicted classes)"
                         )
-                # det_logits stay zero: the reference's oracle substitution
-                # replaces boxes/classes only and leaves all_detected_logits
-                # as zeros (joint_det_dataset.py:951-963)
+                # det_logits stay zero — a pinned deviation: the reference's
+                # oracle substitution replaces boxes/classes/mask but leaks
+                # the GroupFree logits it loaded earlier, misaligned with the
+                # substituted boxes (joint_det_dataset.py:951-963; nothing in
+                # the training graph consumes them) — see
+                # tests/test_reference_parity_getitem.py
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask
