@@ -43,6 +43,46 @@ from eda_tpu.models.tokenizer import make_tokenizer
 MAX_NUM_OBJ = 132  # joint_det_dataset.py:45
 
 
+def load_detected(detected_dir, split: str, scan_id: str):
+    """GroupFree per-scan detections (``joint_det_dataset.py:785-824``):
+    ``group_free_pred_bboxes_{split}/{scan_id}.npy`` holding a dict with
+    'box' (xyzxyz), 'class' (raw labels), 'logits'. Returns
+    (cxcyczwhd boxes, 485-way class ranks, logits) or None when absent."""
+    path = osp.join(
+        detected_dir or "",
+        f"group_free_pred_bboxes_{split}",
+        f"{scan_id}.npy",
+    )
+    if not detected_dir or not osp.exists(path):
+        return None
+    d = np.load(path, allow_pickle=True).item()
+    corners = np.asarray(d["box"], np.float32)
+    boxes = np.concatenate(
+        [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
+        1,
+    )
+    # 485-way ranks: the ids key the class-embedding table rows
+    # (joint_det_dataset.py:807-809 -> bdetr.py:239)
+    classes = np.array(
+        [instance_label_to_class485(str(c)) for c in d["class"]], np.int32
+    )
+    logits = np.asarray(d["logits"], np.float32) if "logits" in d else None
+    return boxes, classes, logits
+
+
+def load_cls_results(detected_dir) -> dict:
+    """Per-scan predicted object classes for --butd_cls
+    (``data/cls_results.json``, joint_det_dataset.py:114-116,960-963).
+    Empty dict when the file is absent."""
+    path = osp.join(detected_dir or "", "..", "cls_results.json")
+    if detected_dir and osp.exists(path):
+        import json
+
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
 def _corrupt_detections(rng, boxes: np.ndarray, classes: np.ndarray):
     """--augment_det box corruption: with p=0.3 a detected box is replaced by
     a random box in the scene extent and a random 485-way class
@@ -176,13 +216,7 @@ class GroundingDataset:
         (``data/cls_results.json``, joint_det_dataset.py:114-116,960-963).
         Empty dict when the file is absent (GT classes are used instead)."""
         if not hasattr(self, "_cls_results_cache"):
-            self._cls_results_cache = {}
-            path = osp.join(self.detected_dir or "", "..", "cls_results.json")
-            if self.detected_dir and osp.exists(path):
-                import json
-
-                with open(path) as f:
-                    self._cls_results_cache = json.load(f)
+            self._cls_results_cache = load_cls_results(self.detected_dir)
         return self._cls_results_cache
 
     def _load_multiview(self, scan_id: str) -> np.ndarray:
@@ -206,30 +240,7 @@ class GroundingDataset:
         return feats
 
     def _load_detected(self, scan_id: str):
-        """GroupFree per-scan detections (``joint_det_dataset.py:785-824``):
-        ``group_free_pred_bboxes_{split}/{scan_id}.npy`` holding a dict with
-        'box' (xyzxyz), 'class' (raw labels), 'logits'. Returns
-        (cxcyczwhd boxes, 18-way class ids) or None when absent."""
-        path = osp.join(
-            self.detected_dir or "",
-            f"group_free_pred_bboxes_{self.split}",
-            f"{scan_id}.npy",
-        )
-        if not self.detected_dir or not osp.exists(path):
-            return None
-        d = np.load(path, allow_pickle=True).item()
-        corners = np.asarray(d["box"], np.float32)
-        boxes = np.concatenate(
-            [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
-            1,
-        )
-        # 485-way ranks: the ids key the class-embedding table rows
-        # (joint_det_dataset.py:807-809 -> bdetr.py:239)
-        classes = np.array(
-            [instance_label_to_class485(str(c)) for c in d["class"]], np.int32
-        )
-        logits = np.asarray(d["logits"], np.float32) if "logits" in d else None
-        return boxes, classes, logits
+        return load_detected(self.detected_dir, self.split, scan_id)
 
     def example(self, idx: int, butd: Optional[bool] = None) -> dict:
         butd = self.butd if butd is None else butd

@@ -22,7 +22,12 @@ from eda_tpu.data.class_config import (
     raw_to_nyu40,
     NYU40_IDS_18,
 )
-from eda_tpu.data.dataset import MAX_NUM_OBJ
+from eda_tpu.data.dataset import (
+    MAX_NUM_OBJ,
+    _corrupt_detections,
+    load_cls_results,
+    load_detected,
+)
 from eda_tpu.data.scannet import object_box_from_points
 from eda_tpu.data.positive_maps import MAX_TOKENS, spans_to_map
 from eda_tpu.data.presort import morton_sort
@@ -72,6 +77,10 @@ class DetectionPromptDataset:
         seed: int = 0,
         use_height: bool = False,
         multiview_path: str = None,
+        detected_dir: str = None,
+        augment_det: bool = False,
+        butd_gt: bool = False,
+        butd_cls: bool = False,
     ):
         # keep scans with >= 1 object in the 485-class vocabulary
         # (load_scannet_annos, joint_det_dataset.py:346-354), ordered by the
@@ -113,9 +122,18 @@ class DetectionPromptDataset:
         self.text_len = text_len
         self.tokenizer = tokenizer or make_tokenizer(vocab_size=vocab_size)
         self.seed = seed
+        self.detected_dir = detected_dir
+        self.augment_det = augment_det
+        self.butd_gt = butd_gt
+        self.butd_cls = butd_cls
 
     def __len__(self) -> int:
         return len(self.scan_ids)
+
+    def _cls_results(self) -> dict:
+        if not hasattr(self, "_cls_results_cache"):
+            self._cls_results_cache = load_cls_results(self.detected_dir)
+        return self._cls_results_cache
 
     def example(self, idx: int, butd: bool = False) -> dict:
         rng = np.random.default_rng((self.seed * 7_777_777 + idx) % (2**31))
@@ -203,10 +221,11 @@ class DetectionPromptDataset:
         for slot, o in enumerate(target_objs):
             point_instance[scan.three_d_objects[o]["points"]] = slot
 
+        aug = None
         if self.augment:
             # scannet prompts always rotate (rotate_else,
             # joint_det_dataset.py:500-505)
-            xyz, color, _, _ = augment_scene(
+            xyz, color, _, aug = augment_scene(
                 rng, xyz, color, np.zeros((0, 6), np.float32), True
             )
 
@@ -275,23 +294,75 @@ class DetectionPromptDataset:
             "text_mask": tok.attention_mask[0],
         }
         if butd:
-            # same fallback as GroundingDataset: kept scene objects as
-            # detections, 485-way class ranks (joint_det_dataset.py:889-900)
+            # scannet prompt examples ride the SAME detected-box stream as
+            # grounding examples (the reference's __getitem__ calls
+            # _get_detected_objects for every item, joint_det_dataset.py:
+            # 948-963): GroupFree .npy detections co-transformed with the
+            # cloud (+--augment_det corruption), or the scene-box oracle
+            # under butd_gt/butd_cls, or scene boxes as a fixtures fallback.
             det_boxes = np.zeros((MAX_NUM_OBJ, 6), np.float32)
             det_mask = np.zeros((MAX_NUM_OBJ,), bool)
             det_cls = np.zeros((MAX_NUM_OBJ,), np.int32)
-            kept = [
-                i
-                for i in range(min(len(labels), MAX_NUM_OBJ))
-                if instance_label_in_class485(labels[i])
-            ]
-            for slot, i in enumerate(kept):
-                det_boxes[slot] = obj_box(i)
-                det_mask[slot] = True
-                det_cls[slot] = instance_label_to_class485(labels[i])
+            det_logits = np.zeros((MAX_NUM_OBJ, 485), np.float32)
+            scan_id = self.scan_ids[idx % len(self.scan_ids)]
+            detected = None
+            if not (self.butd_gt or self.butd_cls):
+                detected = load_detected(self.detected_dir, self.split, scan_id)
+            if detected is not None:
+                boxes, classes, logits = detected
+                if aug is not None:
+                    boxes = aug.apply_boxes(boxes)
+                if self.augment_det and self.augment:
+                    boxes, classes = _corrupt_detections(rng, boxes, classes)
+                n = min(len(boxes), MAX_NUM_OBJ)
+                det_boxes[:n] = boxes[:n]
+                det_mask[:n] = True
+                det_cls[:n] = classes[:n]
+                if logits is not None:
+                    k = min(n, len(logits))
+                    c = min(logits.shape[1], det_logits.shape[1])
+                    det_logits[:k, :c] = logits[:k, :c]
+            else:
+                # butd_gt/butd_cls oracle substitution or fixtures fallback:
+                # kept scene objects as detections, 485-way class ranks
+                # (joint_det_dataset.py:889-900,951-963)
+                kept = [
+                    i
+                    for i in range(min(len(labels), MAX_NUM_OBJ))
+                    if instance_label_in_class485(labels[i])
+                ]
+                for slot, i in enumerate(kept):
+                    det_boxes[slot] = obj_box(i)
+                    det_mask[slot] = True
+                    det_cls[slot] = instance_label_to_class485(labels[i])
+                if self.butd_cls:
+                    # predicted classes from cls_results.json; same
+                    # strictness as GroundingDataset (GT fallback only on a
+                    # MISSING file, loud error on a count mismatch)
+                    results = self._cls_results()
+                    if results:
+                        cls = np.asarray(results[scan_id], np.int32)
+                        cls = cls[cls > -1]
+                        if len(cls) != len(kept):
+                            raise ValueError(
+                                f"cls_results.json has {len(cls)} classes "
+                                f"for {scan_id} but the scan keeps "
+                                f"{len(kept)} objects"
+                            )
+                        det_cls[: len(kept)] = cls
+                    elif not getattr(self, "_warned_cls_fallback", False):
+                        self._warned_cls_fallback = True
+                        import logging
+
+                        logging.getLogger("eda_tpu").warning(
+                            "--butd_cls without cls_results.json: falling "
+                            "back to GT classes (NOT the reference "
+                            "protocol's predicted classes)"
+                        )
             inputs["det_boxes"] = det_boxes
             inputs["det_class_ids"] = det_cls
             inputs["det_mask"] = det_mask
+            inputs["det_logits"] = det_logits
         targets = {
             "center_label": center_label,
             "size_gts": size_gts,
@@ -304,10 +375,14 @@ class DetectionPromptDataset:
             "point_instance_label": point_instance,
             "text_lengths": np.int32(tok.lengths[0]),
         }
+        # scannet annos carry empty distractor lists (load_scannet_annos,
+        # joint_det_dataset.py:355-364), so every prompt item scores
+        # is_hard=False / is_unique=True (:1032-1033); the flags are only
+        # consumed by the grounding evaluator, which never sees prompt items
         hardness = {
             "is_view_dep": False,
-            "is_hard": n_t > 1,
-            "is_unique": n_t <= 1,
+            "is_hard": False,
+            "is_unique": True,
         }
         return {"inputs": inputs, "targets": targets, "hardness": hardness}
 

@@ -166,7 +166,9 @@ def _our_anno():
     }
 
 
-def _ref_dataset(ref_jd, tmp_path, ref_scan, *, butd_gt, use_height):
+def _ref_dataset(
+    ref_jd, tmp_path, ref_scan, *, butd_gt, use_height, multiview_path=None
+):
     import csv
 
     label_map = {}
@@ -183,7 +185,9 @@ def _ref_dataset(ref_jd, tmp_path, ref_scan, *, butd_gt, use_height):
     ds.augment = False
     ds.use_color = True
     ds.use_height = use_height
-    ds.use_multiview = False
+    ds.use_multiview = multiview_path is not None
+    ds.multiview_path = multiview_path
+    ds.multiview_data = {}
     ds.detect_intermediate = True
     ds.butd = True
     ds.butd_gt = butd_gt
@@ -197,7 +201,7 @@ def _ref_dataset(ref_jd, tmp_path, ref_scan, *, butd_gt, use_height):
     return ds
 
 
-def _our_dataset(tmp_path, our_scan, *, butd_gt, use_height):
+def _our_dataset(tmp_path, our_scan, *, butd_gt, use_height, multiview_path=None):
     from eda_tpu.data.dataset import GroundingDataset
 
     return GroundingDataset(
@@ -212,15 +216,23 @@ def _our_dataset(tmp_path, our_scan, *, butd_gt, use_height):
         tokenizer=_our_tok(),
         detected_dir=str(tmp_path / "group_free_pred_bboxes"),
         use_height=use_height,
+        multiview_path=multiview_path,
     )
 
 
 @pytest.mark.parametrize(
-    "butd_gt,use_height",
-    [(False, False), (False, True), (True, False)],
-    ids=["butd", "butd+height", "butd_gt"],
+    "butd_gt,use_height,use_multiview",
+    [
+        (False, False, False),
+        (False, True, False),
+        (True, False, False),
+        (False, True, True),
+    ],
+    ids=["butd", "butd+height", "butd_gt", "butd+height+multiview"],
 )
-def test_getitem_full_parity(ref_jd, tmp_path, monkeypatch, butd_gt, use_height):
+def test_getitem_full_parity(
+    ref_jd, tmp_path, monkeypatch, butd_gt, use_height, use_multiview
+):
     from eda_tpu.data.class_config import instance_label_in_class485
     from eda_tpu.data.positive_maps import build_positive_maps, not_mentioned_suffix
     from eda_tpu.data.presort import morton_sort
@@ -244,12 +256,25 @@ def test_getitem_full_parity(ref_jd, tmp_path, monkeypatch, butd_gt, use_height)
     # no dedup in this scene: object ids == positions on both sides
     assert len(ref_scan.three_d_objects) == len(our_scan.three_d_objects) == 4
 
+    multiview_path = None
+    if use_multiview:
+        import h5py
+
+        multiview_path = str(tmp_path / "enet_feats_maxpool.hdf5")
+        rng = np.random.default_rng(13)
+        with h5py.File(multiview_path, "w") as f:
+            f[SCAN_ID] = rng.normal(
+                size=(len(our_scan.pc), 8)
+            ).astype(np.float32)
+
     ref_ds = _ref_dataset(
-        ref_jd, tmp_path, ref_scan, butd_gt=butd_gt, use_height=use_height
+        ref_jd, tmp_path, ref_scan, butd_gt=butd_gt, use_height=use_height,
+        multiview_path=multiview_path,
     )
     ref = ref_ds[0]
     ours_ds = _our_dataset(
-        tmp_path, our_scan, butd_gt=butd_gt, use_height=use_height
+        tmp_path, our_scan, butd_gt=butd_gt, use_height=use_height,
+        multiview_path=multiview_path,
     )
     item = ours_ds.example(0)
     inputs, targets, hard = item["inputs"], item["targets"], item["hardness"]
@@ -260,7 +285,7 @@ def test_getitem_full_parity(ref_jd, tmp_path, monkeypatch, butd_gt, use_height)
     # --- point cloud: same rows up to our Morton presort permutation
     n = len(our_scan.pc)
     perm = morton_sort(our_scan.pc, np.arange(n))[1]
-    want_cols = 6 + (1 if use_height else 0)
+    want_cols = 6 + (1 if use_height else 0) + (8 if use_multiview else 0)
     assert ref["point_clouds"].shape == (n, want_cols)
     np.testing.assert_allclose(
         inputs["point_clouds"], ref["point_clouds"][perm], atol=3e-4
@@ -333,3 +358,141 @@ def test_getitem_full_parity(ref_jd, tmp_path, monkeypatch, butd_gt, use_height)
     assert hard["is_view_dep"] == bool(ref["is_view_dep"])
     assert hard["is_hard"] == bool(ref["is_hard"])
     assert hard["is_unique"] == bool(ref["is_unique"])
+
+
+# ---------------------------------------------------------------------------
+# scannet detection-prompt branch (--joint_det items)
+# ---------------------------------------------------------------------------
+
+
+def _ref_scannet_anno():
+    """load_scannet_annos template (:355-364): fields get populated inside
+    __getitem__ for dataset='scannet'."""
+    return {
+        "scan_id": SCAN_ID,
+        "target_id": [],
+        "distractor_ids": [],
+        "utterance": "",
+        "target": [],
+        "anchors": [],
+        "anchor_ids": [],
+        "dataset": "scannet",
+    }
+
+
+def test_getitem_scannet_prompt_parity(ref_jd, tmp_path, monkeypatch):
+    """The reference's __getitem__ on a dataset='scannet' item (eval split:
+    fixed 18-class prompt, :869-911) vs DetectionPromptDataset.example with
+    butd=True: target selection by 18-class membership, per-slot positive
+    maps over the class-name spans, 1000-padded centers, sem-cls ranks, the
+    GroupFree detected-box stream, and the prompt caption contract."""
+    import csv
+
+    from eda_tpu.data.class_config import instance_label_to_class18
+    from eda_tpu.data.detection_prompt import (
+        PROMPT_NAMES,
+        DetectionPromptDataset,
+    )
+    from eda_tpu.data.presort import morton_sort
+    from eda_tpu.data.scannet import Scan
+
+    _write_scene(tmp_path)
+    _write_groupfree(tmp_path)
+
+    vdh = importlib.import_module("src.visual_data_handlers")
+    monkeypatch.setattr(vdh, "PlyData", _ShimPlyData)
+    monkeypatch.setattr(np, "bool8", np.bool_, raising=False)
+    monkeypatch.chdir(REF)
+    ref_scan = vdh.Scan(SCAN_ID, str(tmp_path))
+    with open(f"{REF}/data/meta_data/scans_axis_alignment_matrices.json") as f:
+        matrix = json.load(f)[SCAN_ID]
+    our_scan = Scan(SCAN_ID, str(tmp_path), axis_alignment=np.asarray(matrix))
+
+    ref_ds = _ref_dataset(
+        ref_jd, tmp_path, ref_scan, butd_gt=False, use_height=False
+    )
+    label_map18 = {}
+    with open(f"{REF}/data/meta_data/scannetv2-labels.combined.tsv") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            label_map18[row["raw_category"]] = int(row["nyu40id"])
+    ref_ds.label_map18 = label_map18
+    ref_ds.annos = [_ref_scannet_anno()]
+    ref = ref_ds[0]
+
+    ours_ds = DetectionPromptDataset(
+        {SCAN_ID: our_scan},
+        split="val",
+        use_color=True,
+        augment=False,
+        tokenizer=_our_tok(),
+        detected_dir=str(tmp_path / "group_free_pred_bboxes"),
+    )
+    item = ours_ds.example(0, butd=True)
+    inputs, targets, hard = item["inputs"], item["targets"], item["hardness"]
+
+    # fixed 18-class prompt caption (:397-409, :988-991)
+    assert ref["utterances"] == " . ".join(PROMPT_NAMES) + " . not mentioned"
+
+    # targets: chair, both tables AND the treadmill (nyu40 39,
+    # 'otherfurniture') are all in the 18-class benchmark
+    assert ref["box_label_mask"].sum() == 4
+    np.testing.assert_array_equal(
+        targets["box_label_mask"], ref["box_label_mask"]
+    )
+    np.testing.assert_allclose(
+        targets["center_label"], ref["center_label"], atol=3e-4
+    )
+    np.testing.assert_allclose(targets["size_gts"], ref["size_gts"], atol=3e-4)
+
+    # sem-cls ranks for the selected targets (:969-975)
+    want_cls = [
+        instance_label_to_class18(lbl)
+        for lbl in ("chair", "table", "treadmill", "table")
+    ]
+    assert ref["sem_cls_label"][:4].tolist() == want_cls
+
+    # point cloud + instance slots up to the Morton presort permutation
+    n = len(our_scan.pc)
+    perm = morton_sort(our_scan.pc, np.arange(n))[1]
+    np.testing.assert_allclose(
+        inputs["point_clouds"], ref["point_clouds"][perm], atol=3e-4
+    )
+    np.testing.assert_array_equal(
+        targets["point_instance_label"], ref["point_instance_label"][perm]
+    )
+
+    # per-slot positive maps over the class-name spans (:520-573); the
+    # decoupled maps are all empty for prompts
+    np.testing.assert_allclose(
+        targets["positive_map"], ref["positive_map"], atol=1e-6
+    )
+    for key in (
+        "modify_positive_map",
+        "pron_positive_map",
+        "other_entity_map",
+        "rel_positive_map",
+    ):
+        assert not targets[key].any() and not ref[key].any(), key
+
+    # GroupFree detected-box stream rides prompt items too (:948-963)
+    ref_mask = ref["all_detected_bbox_label_mask"].astype(bool)
+    our_mask = inputs["det_mask"].astype(bool)
+    assert ref_mask.sum() == our_mask.sum() == 5
+    np.testing.assert_allclose(
+        inputs["det_boxes"][our_mask],
+        ref["all_detected_boxes"][ref_mask],
+        atol=3e-4,
+    )
+    np.testing.assert_array_equal(
+        inputs["det_class_ids"][our_mask],
+        ref["all_detected_class_ids"][ref_mask],
+    )
+    np.testing.assert_allclose(
+        inputs["det_logits"][our_mask],
+        ref["all_detected_logits"][ref_mask],
+        atol=1e-6,
+    )
+
+    # hardness: empty distractor lists -> False/True on both sides
+    assert hard["is_hard"] == bool(ref["is_hard"]) is False
+    assert hard["is_unique"] == bool(ref["is_unique"]) is True

@@ -253,6 +253,12 @@ def make_loader(args, model_cfg, split: str, for_eval: bool = False):
             tokenizer=ds.tokenizer,  # shared vocab with the grounding data
             use_height=getattr(args, "use_height", False),
             multiview_path=ds.multiview_path,
+            # scannet prompt items ride the same detected-box stream as the
+            # grounding items (joint_det_dataset.py:948-963)
+            detected_dir=ds.detected_dir,
+            augment_det=getattr(args, "augment_det", False),
+            butd_gt=args.butd_gt,
+            butd_cls=args.butd_cls,
         )
         ds = MixedDataset([ds, det], multipliers=[1, 10])
     return ds, len(ds)
@@ -577,6 +583,9 @@ def evaluate_detection(args, model, state, model_cfg, logger, mesh=None):
             if getattr(args, "use_multiview", False)
             else None
         ),
+        detected_dir=os.path.join(args.data_root, "group_free_pred_bboxes"),
+        butd_gt=args.butd_gt,
+        butd_cls=args.butd_cls,
     )
     eval_fn = make_eval_step(model)
     # one calculator per threshold (reference ap_calculator_list,
