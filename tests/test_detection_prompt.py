@@ -65,6 +65,75 @@ def test_detection_prompt_butd_keys(rng):
     assert ex["inputs"]["det_mask"].sum() == 2
 
 
+def test_mixed_butd_batch_keys_consistent(rng, tmp_path):
+    """Mixed grounding+prompt butd batches must stack IDENTICAL input key
+    sets — prompt items previously omitted det_logits, so a batch whose
+    first example was a grounding item raised KeyError on stacking (the
+    reference emits all_detected_logits for every item,
+    joint_det_dataset.py:1027-1030)."""
+    from eda_tpu.data.dataset import GroundingDataset
+
+    scans = {"scene0": FakeScan(rng)}
+    anno = {
+        "scan_id": "scene0",
+        "target_id": 0,
+        "distractor_ids": [],
+        "anchor_ids": [],
+        "anchors": [],
+        "target": "chair",
+        "utterance": "the chair",
+        "dataset": "scanrefer",
+        "decoupled": {
+            "main": [(4, 9)], "modifiers": [], "pronouns": [],
+            "relations": [], "others": [], "auxi": [], "auxi_lemma": "",
+        },
+    }
+    g = GroundingDataset(
+        scans, [anno], split="train", augment=False, butd=True,
+        vocab_size=512,
+    )
+    det = DetectionPromptDataset(
+        scans, split="train", augment=False, tokenizer=g.tokenizer
+    )
+    mixed = MixedDataset([g, det], multipliers=[1, 1])
+    batch = mixed.batch([0, 1], butd=True)  # grounding first, prompt second
+    assert sorted(batch["inputs"]) == [
+        "det_boxes", "det_class_ids", "det_logits", "det_mask",
+        "point_clouds", "text_ids", "text_mask",
+    ]
+    assert batch["inputs"]["det_logits"].shape[1:] == (132, 485)
+
+
+def test_prompt_groupfree_detections(rng, tmp_path):
+    """With a GroupFree .npy on disk, prompt items load detections exactly
+    like grounding items (boxes converted to cxcyczwhd, 485-way ranks,
+    logits passthrough) instead of the GT scene-box fallback."""
+    scans = {"scene0": FakeScan(rng)}
+    d = tmp_path / "group_free_pred_bboxes" / "group_free_pred_bboxes_val"
+    d.mkdir(parents=True)
+    lo = rng.uniform(-2, 0, (4, 3))
+    hi = lo + rng.uniform(0.3, 1.5, (4, 3))
+    corners = np.concatenate([lo, hi], -1).astype(np.float32)
+    logits = rng.normal(size=(4, 485)).astype(np.float32)
+    np.save(
+        d / "scene0.npy",
+        {"box": corners, "class": ["chair", "table", "sofa", "desk"],
+         "logits": logits},
+    )
+    ds = DetectionPromptDataset(
+        scans, split="val", augment=False, vocab_size=512,
+        detected_dir=str(tmp_path / "group_free_pred_bboxes"),
+    )
+    ex = ds.example(0, butd=True)["inputs"]
+    assert ex["det_mask"].sum() == 4  # the npy's detections, not GT objects
+    want = np.concatenate(
+        [(corners[:, :3] + corners[:, 3:]) / 2, corners[:, 3:] - corners[:, :3]],
+        -1,
+    )
+    np.testing.assert_allclose(ex["det_boxes"][:4], want, atol=1e-6)
+    np.testing.assert_allclose(ex["det_logits"][:4], logits, atol=1e-6)
+
+
 def test_mixed_dataset_multipliers(rng):
     scans = {"scene0": FakeScan(rng)}
     det = DetectionPromptDataset(scans, split="val", augment=False, vocab_size=512)
