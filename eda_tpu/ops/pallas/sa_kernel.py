@@ -36,6 +36,7 @@ like the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -46,6 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
 _LANE = 128
+
+# Radius-test strategy (A/B'd round 3, see _make_kernel): "mxu" computes the
+# per-pair d2 as a tiny (wc, cm) expansion-formula dot on the MXU; "pair"
+# replicates xyz to the (P, 128) pair grid and lane-reduces on the VPU.
+_D2_MODE = os.environ.get("EDA_SA_D2", "mxu")
 
 
 def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -102,6 +108,7 @@ def _make_kernel(
     batched (cm, C) results rather than per center on (1, C) slices.
     """
     n_layers = len(widths)
+    d2_mxu = _D2_MODE == "mxu"
 
     def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
@@ -166,16 +173,44 @@ def _make_kernel(
         bc_rep = jnp.dot(
             R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
         )  # (P, C_pad)
-        cen_rep = jnp.dot(
-            R2, cen, preferred_element_type=jnp.float32
-        )  # (P, 128)
+        if d2_mxu:
+            # d2 via the expansion |p-o|^2 - 2(p-o)@(c-o) + |c-o|^2 around a
+            # CELL-LOCAL origin o = first center (kills the cancellation the
+            # raw expansion suffers): the pair term is a tiny (wc, cm) MXU
+            # dot instead of a (P, 128) xyz replication + full-width VPU
+            # lane reduction — the single largest VPU item in the tile.
+            # Lanes >= 3 of xw/cen are zero-padded, so full-width sums are
+            # exact; lane 3 carries the homogeneous-coordinate trick: the
+            # augmented point row has 1 there and the augmented center row
+            # |c-o|^2, folding the center norm into the same dot.
+            origin = cen[0:1, :]  # (1, 128) f32
+            cen_sh = cen - origin  # (cm, 128); padding lanes stay zero
+            csq = jnp.sum(cen_sh * cen_sh, axis=1, keepdims=True)  # (cm, 1)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, cen.shape, 1)
+            cen_aug = jnp.where(lane_c == 3, csq, cen_sh)
+        else:
+            cen_rep = jnp.dot(
+                R2, cen, preferred_element_type=jnp.float32
+            )  # (P, 128)
 
         def tile_body(t):
             xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
-            p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile semantics
-            delta = p_xyz - cen_rep  # padding lanes are zero on both sides
-            d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
-            in_radius = d2 <= r2
+            if d2_mxu:
+                xw_sh = xw - origin  # (wc, 128)
+                psq = jnp.sum(xw_sh * xw_sh, axis=1, keepdims=True)  # (wc, 1)
+                lane_w = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 1)
+                xw_aug = jnp.where(lane_w == 3, 1.0, -2.0 * xw_sh)
+                pc = jax.lax.dot_general(
+                    xw_aug, cen_aug,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (wc, cm): pc[p, c] + psq[p] = d2(p, c)
+                thr = r2 - psq  # (wc, 1); in-radius iff pc[:, c] <= thr
+            else:
+                p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile
+                delta = p_xyz - cen_rep  # padding lanes zero on both sides
+                d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
+                in_radius = d2 <= r2
 
             # NO per-tile skip branch: a pl.when(any(in_radius)) precheck
             # measured 15-26% SLOWER end to end (round 3, B=32 SA1 on both
@@ -208,17 +243,30 @@ def _make_kernel(
                 else:
                     h = h_pre  # last layer: pool the f32 pre-activation
 
-            masked = jnp.where(in_radius, h.astype(jnp.float32), _NEG)
+            hf = h.astype(jnp.float32)
             # center-major segmented max: each center's wc contiguous
             # rows reduce across sublanes; the running accumulators then
             # update ONCE per tile on the stacked (cm, C) results
             # (single-sublane (1, C) read-modify-writes were ~2x the
-            # cost of the segment reductions themselves).
+            # cost of the segment reductions themselves). In mxu d2 mode
+            # the radius mask applies per segment from the (wc, cm) d2
+            # columns, fused into the same per-center slices.
+            if d2_mxu:
+                masked_segs = [
+                    jnp.where(
+                        pc[:, c:c + 1] <= thr,
+                        hf[c * wc:(c + 1) * wc, :],
+                        _NEG,
+                    )
+                    for c in range(cm)
+                ]
+            else:
+                masked = jnp.where(in_radius, hf, _NEG)
+                masked_segs = [
+                    masked[c * wc:(c + 1) * wc, :] for c in range(cm)
+                ]
             seg_maxes = [
-                jnp.max(
-                    masked[c * wc:(c + 1) * wc, :], axis=0, keepdims=True
-                )
-                for c in range(cm)
+                jnp.max(ms, axis=0, keepdims=True) for ms in masked_segs
             ]
             seg_max = jnp.concatenate(seg_maxes, axis=0)  # (cm, C)
             if not with_winners:
@@ -230,13 +278,12 @@ def _make_kernel(
                 # strict > keeps the first-seen max like the running
                 # fold.
                 rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (wc, masked.shape[1]), 0
+                    jnp.int32, (wc, hf.shape[1]), 0
                 )
                 in_segs = [
                     jnp.max(
                         jnp.where(
-                            masked[c * wc:(c + 1) * wc, :]
-                            >= seg_maxes[c],
+                            masked_segs[c] >= seg_maxes[c],
                             rows,
                             -1,
                         ),
