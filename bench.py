@@ -76,6 +76,20 @@ def _force(x):
     return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
+def _report_spread(name: str, times, inner: int, batch: int) -> None:
+    """Median + min/max scenes/sec across repetitions, to stderr — makes a
+    noisy tunnel measurement visible instead of silently trusted (the round-3
+    README/BENCH 12% discrepancy traced to an unmeasured kernel-default flip;
+    the spread line rules noise in or out at a glance)."""
+    sps = sorted(batch * inner / t for t in times)
+    med = float(np.median(sps))
+    print(
+        f"{name} reps={len(sps)}: median {med:.2f} scenes/sec "
+        f"(min {sps[0]:.2f}, max {sps[-1]:.2f})",
+        file=sys.stderr,
+    )
+
+
 def bench_forward(model, variables, batch, iters: int = 20, inner: int = 4) -> float:
     """Amortize dispatch overhead with ``inner`` chained forwards per call.
 
@@ -102,12 +116,14 @@ def bench_forward(model, variables, batch, iters: int = 20, inner: int = 4) -> f
 
     _force(fwd_n(variables, batch["inputs"]))
     times = []
-    for _ in range(max(iters // inner, 3)):
+    for _ in range(max(iters // inner, 5)):
         t0 = time.perf_counter()
         _force(fwd_n(variables, batch["inputs"]))
         times.append(time.perf_counter() - t0)
+    bs = batch["inputs"]["point_clouds"].shape[0]
+    _report_spread("forward", times, inner, bs)
     dt = float(np.median(times)) / inner
-    return batch["inputs"]["point_clouds"].shape[0] / dt
+    return bs / dt
 
 
 def bench_train(
@@ -141,13 +157,15 @@ def bench_train(
     state, loss = step_n(state)
     _force(loss)
     times = []
-    for _ in range(max(iters // inner, 3)):
+    for _ in range(max(iters // inner, 4)):
         t0 = time.perf_counter()
         state, loss = step_n(state)
         _force(loss)
         times.append(time.perf_counter() - t0)
+    bs = batch["inputs"]["point_clouds"].shape[0]
+    _report_spread("train", times, inner, bs)
     dt = float(np.median(times)) / inner
-    return batch["inputs"]["point_clouds"].shape[0] / dt
+    return bs / dt
 
 
 def main():

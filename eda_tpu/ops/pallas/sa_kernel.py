@@ -48,10 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 _LANE = 128
 
-# Radius-test strategy (A/B'd round 3, see _make_kernel): "mxu" computes the
-# per-pair d2 as a tiny (wc, cm) expansion-formula dot on the MXU; "pair"
-# replicates xyz to the (P, 128) pair grid and lane-reduces on the VPU.
-_D2_MODE = os.environ.get("EDA_SA_D2", "mxu")
+# Radius-test strategy (see _make_kernel): "mxu" computes the per-pair d2 as
+# a tiny (wc, cm) expansion-formula dot on the MXU; "pair" replicates xyz to
+# the (P, 128) pair grid and lane-reduces on the VPU. Default "pair": the
+# round-3 "mxu" flip shipped with no on-device A/B and the only driver-run
+# measurement after it (BENCH_r03.json: 247.4/97.0) regressed ~12%/4% vs the
+# numbers measured on "pair" (283/100.7) — keep "pair" unless an A/B shows
+# "mxu" wins. Resolved at CALL time (not import) so tests can parametrize
+# both modes without importlib.reload; override per call via ``d2_mode=`` or
+# ambient default via ``EDA_SA_D2``.
+#
+# Numerics note: the "mxu" expansion (pc <= r2 - psq around a cell-local
+# origin) is not bit-identical to the direct |p-c|^2 <= r2 test — points
+# within ~1e-5 m of the radius boundary can flip in/out vs "pair"/the XLA
+# path, so winner selection differs across modes at exact boundary ties.
+# Parity tests that rely on deterministic index selection pin "pair" or use
+# grid-quantized inputs away from the boundary.
+_D2_DEFAULT = "pair"
+
+
+def _resolve_d2_mode(d2_mode: str | None) -> str:
+    mode = d2_mode or os.environ.get("EDA_SA_D2", _D2_DEFAULT)
+    if mode not in ("pair", "mxu"):
+        raise ValueError(f"EDA_SA_D2/d2_mode must be 'pair' or 'mxu', got {mode!r}")
+    return mode
 
 
 def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -90,7 +110,7 @@ def _ln_relu_masked(x, scale, bias, c_real: int, eps=1e-5):
 
 def _make_kernel(
     widths: Tuple[int, ...], W: int, wc: int, cm: int, r2: float,
-    with_winners: bool = False,
+    with_winners: bool = False, d2_mode: str = _D2_DEFAULT,
 ):
     """CENTER-major pair kernel: pair row ``c * wc + p`` pairs block center
     ``c`` with window point ``p``.
@@ -108,7 +128,7 @@ def _make_kernel(
     batched (cm, C) results rather than per center on (1, C) slices.
     """
     n_layers = len(widths)
-    d2_mxu = _D2_MODE == "mxu"
+    d2_mxu = d2_mode == "mxu"
 
     def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
@@ -979,12 +999,6 @@ def sa_pair_pool_bwd_pallas(
     return dA, dbc, tuple(dk), tuple(db), tuple(ds), tuple(dlb)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "radius", "window", "block", "wc", "interpret", "with_winners",
-    ),
-)
 def sa_pair_pool_pallas(
     A: jnp.ndarray,
     xyz_sorted: jnp.ndarray,
@@ -999,6 +1013,40 @@ def sa_pair_pool_pallas(
     wc: int = 128,
     interpret: bool = False,
     with_winners: bool = False,
+    d2_mode: str | None = None,
+):
+    """Resolve ``d2_mode`` (call-time env default) then dispatch to the jitted
+    impl — resolution outside jit so an env change can't hit a stale trace."""
+    return _sa_pair_pool_impl(
+        A, xyz_sorted, b_c, cen_xyz, starts, layer_params,
+        radius=radius, window=window, block=block, wc=wc,
+        interpret=interpret, with_winners=with_winners,
+        d2_mode=_resolve_d2_mode(d2_mode),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "window", "block", "wc", "interpret", "with_winners",
+        "d2_mode",
+    ),
+)
+def _sa_pair_pool_impl(
+    A: jnp.ndarray,
+    xyz_sorted: jnp.ndarray,
+    b_c: jnp.ndarray,
+    cen_xyz: jnp.ndarray,
+    starts: jnp.ndarray,
+    layer_params: Sequence[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    *,
+    radius: float,
+    window: int,
+    block: int = 16,
+    wc: int = 128,
+    interpret: bool = False,
+    with_winners: bool = False,
+    d2_mode: str = _D2_DEFAULT,
 ) -> jnp.ndarray:
     """Windowed masked-max pair MLP (see module docstring).
 
@@ -1070,7 +1118,8 @@ def sa_pair_pool_pallas(
     starts = (starts // 16) * 16
 
     kernel = _make_kernel(
-        widths, window, wc, block, radius * radius, with_winners=with_winners
+        widths, window, wc, block, radius * radius,
+        with_winners=with_winners, d2_mode=d2_mode,
     )
     out_spec = pl.BlockSpec(
         (1, block, c_out_pad), lambda b, blk, starts: (b, blk, 0),

@@ -21,7 +21,7 @@ def interpret_kernel(monkeypatch):
 
     def patched(*a, **k):
         k["interpret"] = True
-        return orig.__wrapped__(*a, **k)  # bypass jit to pass interpret
+        return getattr(orig, "__wrapped__", orig)(*a, **k)
 
     monkeypatch.setattr(SK, "sa_pair_pool_pallas", patched)
 
@@ -55,6 +55,66 @@ def test_pallas_kernel_matches_scan_dense(interpret_kernel):
         xyz, feats, cidx, params, impl="pallas", compute_dtype=jnp.bfloat16, **kw
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.03)
+
+
+def test_d2_mode_resolution(monkeypatch):
+    """d2_mode resolves at CALL time: explicit kwarg wins, then the env var,
+    then the 'pair' default — no importlib.reload needed to switch."""
+    monkeypatch.delenv("EDA_SA_D2", raising=False)
+    assert SK._resolve_d2_mode(None) == "pair"
+    assert SK._resolve_d2_mode("mxu") == "mxu"
+    monkeypatch.setenv("EDA_SA_D2", "mxu")
+    assert SK._resolve_d2_mode(None) == "mxu"
+    assert SK._resolve_d2_mode("pair") == "pair"
+    monkeypatch.setenv("EDA_SA_D2", "bogus")
+    with pytest.raises(ValueError):
+        SK._resolve_d2_mode(None)
+
+
+@pytest.mark.parametrize("d2_mode", ["pair", "mxu"])
+def test_d2_modes_equivalent(d2_mode):
+    """Both radius-test strategies compute the same pooled output away from
+    the radius boundary. Grid-quantized coordinates keep every pair a safe
+    distance from |p-c| == r (the 'mxu' expansion formula is not
+    bit-identical to the direct test at exact ties — see sa_kernel.py)."""
+    rng = np.random.default_rng(11)
+    B, N, M, c1 = 1, 256, 16, 8
+    widths = (8, 16)
+    # quantize to a 0.05 grid: every pair d2 is a multiple of 0.0025, and
+    # r^2 = 0.4113 is not, so all pairs sit >= 0.0012 from the boundary
+    xyz = np.sort(
+        (rng.integers(-20, 20, (B, N, 3)) * 0.05).astype(np.float32), axis=1
+    )
+    A = rng.normal(size=(B, N, c1)).astype(np.float32)
+    ranks = np.sort(rng.permutation(N)[:M])[None]
+    cen = np.take_along_axis(xyz, ranks[..., None], 1)
+    b_c = rng.normal(size=(B, M, c1)).astype(np.float32)
+    k1 = rng.normal(size=(c1, 16)).astype(np.float32) * 0.4
+    b1 = rng.normal(size=(16,)).astype(np.float32) * 0.1
+    layer_params = [
+        (jnp.zeros((1, 1)), jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c1)),
+        (jnp.asarray(k1), jnp.asarray(b1), jnp.ones(16), jnp.zeros(16)),
+    ]
+    starts = np.zeros((B, M // 8), np.int32)
+    out = SK.sa_pair_pool_pallas(
+        jnp.asarray(A), jnp.asarray(xyz), jnp.asarray(b_c), jnp.asarray(cen),
+        jnp.asarray(starts), layer_params,
+        radius=np.sqrt(0.4113), window=N, block=8, wc=128,
+        interpret=True, d2_mode=d2_mode,
+    )
+    # oracle: dense masked-max over all pairs in f64-ish numpy
+    h = np.maximum(A[:, None, :, :] + b_c[:, :, None, :], 0.0)
+    h = np.asarray(
+        jnp.asarray(h, jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    z = h @ k1 + b1  # (B, M, N, 16)
+    d2 = ((xyz[:, None, :, :] - cen[:, :, None, :]) ** 2).sum(-1)
+    masked = np.where(d2[..., None] <= 0.4113, z, -1e9)
+    ref = masked.max(2)
+    got = np.asarray(out)
+    valid = ref > -1e8
+    np.testing.assert_allclose(got[valid], ref[valid], atol=5e-2)
+    assert (got[~valid] < -1e8).all()
 
 
 def test_pallas_kernel_winner_export(interpret_kernel):
@@ -140,7 +200,7 @@ def interpret_bwd(monkeypatch):
 
         def patched(*a, _orig=orig, **k):
             k["interpret"] = True
-            return _orig.__wrapped__(*a, **k)
+            return getattr(_orig, "__wrapped__", _orig)(*a, **k)
 
         monkeypatch.setattr(SK, name, patched)
 
