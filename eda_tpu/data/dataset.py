@@ -170,16 +170,27 @@ class GroundingDataset:
         from eda_tpu.models.tokenizer import SimpleTokenizer
 
         if isinstance(tokenizer, SimpleTokenizer):
-            # hash ids silently alias words — fine for from-scratch synthetic
-            # runs, never for the accuracy-parity protocol (the reference's
-            # token ids feed the positive maps, joint_det_dataset.py:1150-1177)
+            # hash ids silently alias words and their boundaries are
+            # word-level, not BPE — the positive maps that supervise the
+            # dense-alignment losses would diverge from the reference's
+            # (joint_det_dataset.py:1150-1177). SimpleTokenizer is for
+            # synthetic data only: real datasets HARD-ERROR (the native
+            # byte-level BPE needs only vocab.json+merges.txt on disk, no
+            # transformers install — models/bpe.py). Escape hatch for
+            # deliberate throwaway experiments: EDA_TPU_ALLOW_HASH_TOKENIZER.
             msg = (
                 "real dataset %s resolved to the hash-id SimpleTokenizer "
-                "(no usable %s); token ids will NOT match the reference's "
-                "RoBERTa vocabulary" % (args.dataset, tok_path)
+                "(no usable %s); token ids and subword boundaries will NOT "
+                "match the reference's RoBERTa vocabulary. Provide "
+                "vocab.json+merges.txt under that path (served natively by "
+                "eda_tpu.models.bpe, no transformers needed), or set "
+                "EDA_TPU_ALLOW_HASH_TOKENIZER=1 to proceed anyway."
+                % (args.dataset, tok_path)
             )
-            if getattr(args, "eval", False):
-                raise RuntimeError(msg + " — refusing in --eval parity mode")
+            import os as _os
+
+            if not _os.environ.get("EDA_TPU_ALLOW_HASH_TOKENIZER"):
+                raise RuntimeError(msg)
             import logging
 
             logging.getLogger("eda_tpu").warning(msg)

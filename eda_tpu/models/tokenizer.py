@@ -137,8 +137,20 @@ class HFTokenizer:
 
 
 def make_tokenizer(path: Optional[str] = None, vocab_size: int = 50265):
-    """HF tokenizer if a local directory is usable, else SimpleTokenizer."""
+    """Best usable tokenizer for ``path``.
+
+    Preference order: the NATIVE byte-level BPE (``models/bpe.py`` — exact
+    RoBERTa ids/offsets from vocab.json+merges.txt, no transformers
+    dependency), then the HF adapter (directories holding only formats the
+    native loader doesn't parse), then ``SimpleTokenizer`` (synthetic-only;
+    real datasets hard-error on it in ``data/dataset.py``).
+    """
     if path is not None:
+        from eda_tpu.models.bpe import load_bpe
+
+        tok = load_bpe(path)
+        if tok is not None:
+            return tok
         try:
             return HFTokenizer(path)
         except Exception:

@@ -50,13 +50,16 @@ _LANE = 128
 
 # Radius-test strategy (see _make_kernel): "mxu" computes the per-pair d2 as
 # a tiny (wc, cm) expansion-formula dot on the MXU; "pair" replicates xyz to
-# the (P, 128) pair grid and lane-reduces on the VPU. Default "pair": the
-# round-3 "mxu" flip shipped with no on-device A/B and the only driver-run
-# measurement after it (BENCH_r03.json: 247.4/97.0) regressed ~12%/4% vs the
-# numbers measured on "pair" (283/100.7) — keep "pair" unless an A/B shows
-# "mxu" wins. Resolved at CALL time (not import) so tests can parametrize
-# both modes without importlib.reload; override per call via ``d2_mode=`` or
-# ambient default via ``EDA_SA_D2``.
+# the (P, 128) pair grid and lane-reduces on the VPU. Default "pair" — the
+# round-4 on-device A/B (v5e, batch 32, bench.py, median of >=4 reps) is
+# decisive: pair fwd 282.9 / train 100.6 scenes/sec vs mxu 246.2 / 95.8
+# (-13%/-5%). The extra (wc, cm) dot per tile costs more than the VPU lane
+# reduction it replaces at cm=16 — same lesson as the round-2 point-major
+# A/B: tiny per-tile MXU launches lose to streaming VPU work. This also
+# fully explains the round-3 BENCH(247.4)-vs-README(283) gap: the 'mxu'
+# flip shipped unmeasured. Resolved at CALL time (not import) so tests can
+# parametrize both modes without importlib.reload; override per call via
+# ``d2_mode=`` or ambient default via ``EDA_SA_D2``.
 #
 # Numerics note: the "mxu" expansion (pc <= r2 - psq around a cell-local
 # origin) is not bit-identical to the direct |p-c|^2 <= r2 test — points

