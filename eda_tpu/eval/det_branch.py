@@ -81,12 +81,16 @@ def evaluate_detection_batch(
     before scoring, matching the reference's full-split iteration
     (``train_dist_mod.py:202-327``).
     """
-    sem = np.asarray(end_points[f"{prefix}sem_cls_scores"])
+    from eda_tpu.parallel import to_host_global
+
+    # multi-host safe fetch of the (possibly remotely-sharded) jit outputs —
+    # see parallel/mesh.py:to_host_global
+    sem = to_host_global(end_points[f"{prefix}sem_cls_scores"])
     spans = class_token_spans(token_batch, 0, caption)
     cls_probs, obj = project_soft_tokens(sem, spans)
     preds = parse_predictions_from_probs(
-        np.asarray(end_points[f"{prefix}center"]),
-        np.asarray(end_points[f"{prefix}pred_size"]),
+        to_host_global(end_points[f"{prefix}center"]),
+        to_host_global(end_points[f"{prefix}pred_size"]),
         cls_probs,
         obj,
     )

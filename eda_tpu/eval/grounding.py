@@ -159,9 +159,16 @@ class GroundingEvaluator:
                 "__det_boxes": inputs["det_boxes"],
                 "__det_mask": inputs["det_mask"],
             }
+        from eda_tpu.parallel import to_host_global
+
         for prefix in self.prefixes:
             for mode in self.modes:
-                ious = np.asarray(
+                # multi-host safe: under jax.distributed the jit result is a
+                # global array with remote shards; to_host_global replicates
+                # it so EVERY process counts all rows and the counters come
+                # out globally identical (reference all_gathers instead,
+                # src/grounding_evaluator.py:102-119)
+                ious = to_host_global(
                     _score_and_iou(end_points, targets, prefix=prefix, mode=mode)
                 )  # (B, 10)
                 B = ious.shape[0]

@@ -6,5 +6,6 @@ from eda_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     shard_batch,
     shard_params,
+    to_host_global,
     tp_param_spec,
 )

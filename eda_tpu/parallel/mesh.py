@@ -87,14 +87,76 @@ def tp_param_spec(path) -> P:
     return P()
 
 
+def _check_tp_coverage(leaves, model_size: int):
+    """Fail LOUDLY if the TP rules stopped matching the parameter tree.
+
+    ``tp_param_spec`` matches flax auto-names by string; a module rename
+    would silently de-shard weights (they'd replicate, still numerically
+    correct, quietly ~model_size× the memory/compute). Rename-proof
+    invariants checked whenever model>1:
+
+    * every rank-3 ``kernel`` (flax MHA q/k/v/out are the only rank-3
+      kernels in this stack) must receive a non-trivial spec;
+    * the tree must contain BOTH column-parallel (P(None, 'model')) and
+      row-parallel (P('model', None)) 2-D kernels — the FFN pair;
+    * ≥20% of total parameter bytes must shard over 'model' (a mass rename
+      can keep isolated matches while de-sharding the bulk).
+    """
+    misses, sharded_bytes, total_bytes = [], 0, 0
+    has_col = has_row = False
+    for path, x in leaves:
+        spec = tp_param_spec(path)
+        nontrivial = any(s is not None for s in spec)
+        nbytes = int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+        total_bytes += nbytes
+        if nontrivial:
+            sharded_bytes += nbytes
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "kernel" and getattr(x, "ndim", 0) == 3 and not nontrivial:
+            misses.append("/".join(getattr(k, "key", str(k)) for k in path))
+        if tuple(spec) == (None, "model"):
+            has_col = True
+        if tuple(spec) == ("model", None):
+            has_row = True
+    problems = []
+    if misses:
+        problems.append(
+            f"{len(misses)} rank-3 attention kernels got NO model-axis spec "
+            f"(first: {misses[0]})"
+        )
+    if not has_col or not has_row:
+        problems.append(
+            "missing column- and/or row-parallel FFN kernels "
+            f"(col={has_col}, row={has_row})"
+        )
+    frac = sharded_bytes / max(total_bytes, 1)
+    if frac < 0.20:
+        problems.append(
+            f"only {frac:.1%} of parameter bytes shard over 'model'"
+        )
+    if problems:
+        raise ValueError(
+            "TP sharding coverage check failed with model="
+            f"{model_size}: " + "; ".join(problems)
+            + " — a flax module rename likely broke tp_param_spec's "
+            "string matching (parallel/mesh.py)."
+        )
+
+
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree on the mesh under the TP rules.
 
     With model=1 meshes every spec degenerates to replication, so this is
     always safe to call; with model>1 the attention/FFN weights of the
-    encoder, decoder, and text encoder are sharded over the 'model' axis and
-    XLA SPMD derives the matching activation shardings and psums.
+    encoder, decoder, and text encoder are sharded over the 'model' axis,
+    XLA SPMD derives the matching activation shardings and psums, and a
+    coverage guard (``_check_tp_coverage``) refuses trees the TP rules no
+    longer match.
     """
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    if model_size > 1:
+        leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        _check_tp_coverage(leaves, model_size)
     return jax.tree_util.tree_map_with_path(
         lambda path, x: jax.device_put(
             x, NamedSharding(mesh, tp_param_spec(path))
@@ -114,3 +176,42 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def _fully_addressable(x) -> bool:
+    """Predicate split out so tests can force the multi-host path."""
+    return getattr(x, "is_fully_addressable", True)
+
+
+def to_host_global(tree):
+    """Numpy copy of a pytree that may hold NON-fully-addressable arrays.
+
+    Single-host (or CPU-mesh test) arrays fetch directly. Under
+    ``jax.distributed`` multi-host SPMD, a global array's shards live on
+    other processes and ``np.asarray`` raises — those replicate through a
+    jitted identity (``multihost_utils.process_allgather``), so EVERY
+    process sees the full global value. This is the TPU-native analogue of
+    the reference's pickle all_gather of evaluator state
+    (``/root/reference/utils/misc.py:23-66``, called at
+    ``src/grounding_evaluator.py:102-119``): instead of merging per-rank
+    counter objects, each process counts the (replicated) global results,
+    so all counters agree with no merge step.
+    """
+
+    def one(x):
+        if isinstance(x, jax.Array) and not _fully_addressable(x):
+            sh = x.sharding
+            if isinstance(sh, NamedSharding):
+                # replicate through a jitted identity: every process runs
+                # this in lockstep (they iterate identical eval batches), so
+                # XLA's all-gather lands the full value on every process
+                rep = jax.jit(
+                    lambda a: a, out_shardings=NamedSharding(sh.mesh, P())
+                )(x)
+                return np.asarray(rep.addressable_data(0))
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(one, tree)

@@ -153,6 +153,11 @@ def main():
                        with_winners=not args.no_winners)
         kind = "fwd" + ("" if not args.no_winners else "_nowin")
     print(f"{args.layer} {kind} B={args.batch}: {dt * 1e3:.2f} ms/call")
+    print(
+        "note: synthetic uniform cloud + evenly-spaced center ranks only "
+        "APPROXIMATE FPS in-radius density; confirm A/B winners end-to-end "
+        "with bench.py before changing defaults."
+    )
 
 
 if __name__ == "__main__":
