@@ -168,11 +168,45 @@ def bench_train(
     return bs / dt
 
 
+def bench_eval(model, variables, batch, iters: int = 8) -> float:
+    """End-to-end EVALUATION throughput: jitted forward + jitted scoring
+    (``eval/grounding._score_and_iou``) + host counter accumulation — the
+    loop ``train.py:evaluate`` actually runs per val batch. Unlike the
+    forward bench this necessarily includes one host round-trip per batch
+    (the evaluator pulls the (B, 10) IoU matrix to count), so on a tunneled
+    backend each batch carries the ~35 ms dispatch overhead a local chip
+    would not pay; the number is therefore a lower bound."""
+    from eda_tpu.eval.grounding import GroundingEvaluator
+
+    @jax.jit
+    def fwd(v, inputs):
+        return model.apply(v, inputs, train=False)
+
+    ev = GroundingEvaluator(prefixes=("last_",))
+    out = fwd(variables, batch["inputs"])
+    ev.evaluate(out, batch["targets"])  # compile forward + scoring
+    times = []
+    for _ in range(max(iters, 5)):
+        ev = GroundingEvaluator(prefixes=("last_",))
+        t0 = time.perf_counter()
+        out = fwd(variables, batch["inputs"])
+        ev.evaluate(out, batch["targets"])
+        times.append(time.perf_counter() - t0)
+    bs = batch["inputs"]["point_clouds"].shape[0]
+    _report_spread("eval", times, 1, bs)
+    return bs / (float(np.median(times)))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dry", action="store_true", help="tiny smoke config")
     parser.add_argument(
         "--no-train", action="store_true", help="skip the train-step bench"
+    )
+    parser.add_argument(
+        "--eval", action="store_true",
+        help="also measure evaluator throughput (forward + scoring + host "
+        "counters, the train.py:evaluate loop)",
     )
     # kept for compatibility with round-2 docs; train now runs by default
     parser.add_argument("--train", action="store_true", help=argparse.SUPPRESS)
@@ -244,6 +278,20 @@ def main():
                     "vs_baseline": round(
                         tps / A100_TRAIN_BASELINE_SCENES_PER_SEC, 3
                     ),
+                }
+            )
+        )
+
+    if args.eval:
+        eps = bench_eval(model, variables, batch)
+        print(f"eval: {eps:.2f} scenes/sec", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "grounding_eval_throughput",
+                    "value": round(eps, 3),
+                    "unit": "scenes/sec/chip",
+                    "vs_baseline": round(eps / A100_BASELINE_SCENES_PER_SEC, 3),
                 }
             )
         )

@@ -50,19 +50,24 @@ _LANE = 128
 
 # Radius-test strategy (see _make_kernel): "mxu" computes the per-pair d2 as
 # a tiny (wc, cm) expansion-formula dot on the MXU; "pair" replicates xyz to
-# the (P, 128) pair grid and lane-reduces on the VPU. Default "pair" — the
-# round-4 on-device A/B (v5e, batch 32, bench.py, median of >=4 reps) is
-# decisive: pair fwd 282.9 / train 100.6 scenes/sec vs mxu 246.2 / 95.8
-# (-13%/-5%). The extra (wc, cm) dot per tile costs more than the VPU lane
-# reduction it replaces at cm=16 — same lesson as the round-2 point-major
-# A/B: tiny per-tile MXU launches lose to streaming VPU work. This also
-# fully explains the round-3 BENCH(247.4)-vs-README(283) gap: the 'mxu'
-# flip shipped unmeasured. Resolved at CALL time (not import) so tests can
-# parametrize both modes without importlib.reload; override per call via
-# ``d2_mode=`` or ambient default via ``EDA_SA_D2``.
+# the (P, 128) pair grid and lane-reduces on the VPU; "pre" consumes a mask
+# PRECOMPUTED by ``sa_mask.sa_radius_mask`` (planar-xyz d2 at 3-real-rows
+# cost, one homogeneous MXU dot per cell) so the pair kernel runs zero
+# geometry work and skips the (W, 128) f32 xyz window DMA entirely.
+# Default "pair" — the round-4 on-device A/B (v5e, batch 32, bench.py,
+# median of >=4 reps) was decisive against 'mxu': pair fwd 282.9 / train
+# 100.6 scenes/sec vs mxu 246.2 / 95.8 (-13%/-5%) — tiny per-tile MXU
+# launches lose to streaming VPU work (same lesson as the round-2
+# point-major A/B). That A/B also fully explains the round-3
+# BENCH(247.4)-vs-README(283) gap: the 'mxu' flip shipped unmeasured.
+# 'pre' removes the per-tile d2 ALTOGETHER rather than re-placing it; it
+# flips to default only with a committed winning A/B. Resolved at CALL
+# time (not import) so tests can parametrize modes without
+# importlib.reload; override per call via ``d2_mode=`` or ambient default
+# via ``EDA_SA_D2``.
 #
-# Numerics note: the "mxu" expansion (pc <= r2 - psq around a cell-local
-# origin) is not bit-identical to the direct |p-c|^2 <= r2 test — points
+# Numerics note: the "mxu"/"pre" expansion formulas (around a cell-local
+# origin) are not bit-identical to the direct |p-c|^2 <= r2 test — points
 # within ~1e-5 m of the radius boundary can flip in/out vs "pair"/the XLA
 # path, so winner selection differs across modes at exact boundary ties.
 # Parity tests that rely on deterministic index selection pin "pair" or use
@@ -72,8 +77,10 @@ _D2_DEFAULT = "pair"
 
 def _resolve_d2_mode(d2_mode: str | None) -> str:
     mode = d2_mode or os.environ.get("EDA_SA_D2", _D2_DEFAULT)
-    if mode not in ("pair", "mxu"):
-        raise ValueError(f"EDA_SA_D2/d2_mode must be 'pair' or 'mxu', got {mode!r}")
+    if mode not in ("pair", "mxu", "pre"):
+        raise ValueError(
+            f"EDA_SA_D2/d2_mode must be 'pair', 'mxu' or 'pre', got {mode!r}"
+        )
     return mode
 
 
@@ -129,19 +136,42 @@ def _make_kernel(
     ~5%: the in-tile argmax runs per center (Mosaic has no sublane argmax
     primitive), and the running accumulators update once per tile on the
     batched (cm, C) results rather than per center on (1, C) slices.
+
+    ``d2_mode='pre'`` swaps the signature: instead of xyz/cen inputs and an
+    in-tile radius test, the kernel receives the precomputed (wp, cm) mask
+    from ``sa_mask.sa_radius_mask`` plus per-cell sublane offsets — no xyz
+    window DMA (a (W, 128) f32 stream per cell whose real content is 3
+    lanes) and no pair-grid d2 passes at all.
     """
     n_layers = len(widths)
     d2_mxu = d2_mode == "mxu"
+    d2_pre = d2_mode == "pre"
 
-    def kernel(starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref, *rest):
+    def kernel(*args):
+        if d2_pre:
+            starts_ref, offs_ref, a_hbm, bc_ref, pen_ref, r1_ref = args[:6]
+            rest = args[6:]
+        else:
+            starts_ref, a_hbm, xyz_hbm, bc_ref, cen_ref, r1_ref = args[:6]
+            rest = args[6:]
         n_p = 4 * n_layers  # per layer: kernel, bias, ln_scale, ln_bias
         param_refs = rest[:n_p]
         out_ref = rest[n_p]
         if with_winners:
             idx_ref = rest[n_p + 1]
-            a_buf, xyz_buf, acc, acc_idx, sem_a, sem_x = rest[n_p + 2:]
+            scratch = rest[n_p + 2:]
         else:
-            a_buf, xyz_buf, acc, sem_a, sem_x = rest[n_p + 1:]
+            scratch = rest[n_p + 1:]
+        if d2_pre:
+            if with_winners:
+                a_buf, acc, acc_idx, sem_a = scratch
+            else:
+                a_buf, acc, sem_a = scratch
+        else:
+            if with_winners:
+                a_buf, xyz_buf, acc, acc_idx, sem_a, sem_x = scratch
+            else:
+                a_buf, xyz_buf, acc, sem_a, sem_x = scratch
 
         b = pl.program_id(0)
         blk = pl.program_id(1)
@@ -160,11 +190,12 @@ def _make_kernel(
                 a_buf.at[dst_slot],
                 sem_a.at[dst_slot],
             ).start()
-            pltpu.make_async_copy(
-                xyz_hbm.at[src_b, pl.ds(start, W), :],
-                xyz_buf.at[dst_slot],
-                sem_x.at[dst_slot],
-            ).start()
+            if not d2_pre:
+                pltpu.make_async_copy(
+                    xyz_hbm.at[src_b, pl.ds(start, W), :],
+                    xyz_buf.at[dst_slot],
+                    sem_x.at[dst_slot],
+                ).start()
 
         # Double buffering: cell i waits for the window issued at cell i-1
         # (or self-issued when first) while prefetching cell i+1's window —
@@ -184,19 +215,24 @@ def _make_kernel(
         pltpu.make_async_copy(
             a_hbm.at[0, pl.ds(0, W), :], a_buf.at[slot], sem_a.at[slot]
         ).wait()
-        pltpu.make_async_copy(
-            xyz_hbm.at[0, pl.ds(0, W), :], xyz_buf.at[slot], sem_x.at[slot]
-        ).wait()
+        if not d2_pre:
+            pltpu.make_async_copy(
+                xyz_hbm.at[0, pl.ds(0, W), :], xyz_buf.at[slot], sem_x.at[slot]
+            ).wait()
+            xyz_win = xyz_buf.at[slot]
         a_win = a_buf.at[slot]
-        xyz_win = xyz_buf.at[slot]
 
         bc = bc_ref[0]  # (cm, C_pad)
-        cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
         R2 = r1_ref[:, :]  # (P, cm) f32: R2[c*wc + p, c] = 1
         bc_rep = jnp.dot(
             R2, bc.astype(jnp.float32), preferred_element_type=jnp.float32
         )  # (P, C_pad)
-        if d2_mxu:
+        if d2_pre:
+            # mask rows for this cell's W-long window start at the sublane
+            # offset start16 - start128 inside the (wp, cm) pen block
+            pen_off = pl.multiple_of(offs_ref[cell], 16)
+        elif d2_mxu:
+            cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
             # d2 via the expansion |p-o|^2 - 2(p-o)@(c-o) + |c-o|^2 around a
             # CELL-LOCAL origin o = first center (kills the cancellation the
             # raw expansion suffers): the pair term is a tiny (wc, cm) MXU
@@ -212,13 +248,19 @@ def _make_kernel(
             lane_c = jax.lax.broadcasted_iota(jnp.int32, cen.shape, 1)
             cen_aug = jnp.where(lane_c == 3, csq, cen_sh)
         else:
+            cen = cen_ref[0]  # (cm, 128): lanes 0..2 are x,y,z, rest zero
             cen_rep = jnp.dot(
                 R2, cen, preferred_element_type=jnp.float32
             )  # (P, 128)
 
         def tile_body(t):
-            xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
-            if d2_mxu:
+            if d2_pre:
+                # (wc, cm) mask slice for this tile: precomputed in-radius
+                # flags in the exact per-segment column layout — no
+                # geometry work on the pair grid at all
+                pen_t = pen_ref[0, 0, pl.ds(pen_off + t * wc, wc), :]
+            elif d2_mxu:
+                xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
                 xw_sh = xw - origin  # (wc, 128)
                 psq = jnp.sum(xw_sh * xw_sh, axis=1, keepdims=True)  # (wc, 1)
                 lane_w = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 1)
@@ -230,6 +272,7 @@ def _make_kernel(
                 )  # (wc, cm): pc[p, c] + psq[p] = d2(p, c)
                 thr = r2 - psq  # (wc, 1); in-radius iff pc[:, c] <= thr
             else:
+                xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
                 p_xyz = pltpu.repeat(xw, cm, axis=0)  # (P, 128), tile
                 delta = p_xyz - cen_rep  # padding lanes zero on both sides
                 d2 = jnp.sum(delta * delta, axis=1, keepdims=True)  # (P, 1)
@@ -274,7 +317,16 @@ def _make_kernel(
             # cost of the segment reductions themselves). In mxu d2 mode
             # the radius mask applies per segment from the (wc, cm) d2
             # columns, fused into the same per-center slices.
-            if d2_mxu:
+            if d2_pre:
+                masked_segs = [
+                    jnp.where(
+                        pen_t[:, c:c + 1] > 0.5,
+                        hf[c * wc:(c + 1) * wc, :],
+                        _NEG,
+                    )
+                    for c in range(cm)
+                ]
+            elif d2_mxu:
                 masked_segs = [
                     jnp.where(
                         pc[:, c:c + 1] <= thr,
@@ -1108,9 +1160,7 @@ def _sa_pair_pool_impl(
         flat_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
 
     a_pad = _pad_lanes(A, c1_pad).astype(jnp.bfloat16)
-    xyz_pad = _pad_lanes(xyz_sorted, _LANE).astype(jnp.float32)
     bc_pad = _pad_lanes(b_c, c1_pad).astype(jnp.bfloat16)
-    cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
 
     # 0/1 center-expansion matrix (center-major): R2[c*wc + p, c] = 1. f32 so
     # replicated coordinates stay exact for the radius test.
@@ -1125,55 +1175,106 @@ def _sa_pair_pool_impl(
         with_winners=with_winners, d2_mode=d2_mode,
     )
     out_spec = pl.BlockSpec(
-        (1, block, c_out_pad), lambda b, blk, starts: (b, blk, 0),
+        (1, block, c_out_pad), lambda b, blk, *s: (b, blk, 0),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.float32)
     scratch = [
         pltpu.VMEM((2, window, c1_pad), jnp.bfloat16),
-        pltpu.VMEM((2, window, _LANE), jnp.float32),
-        pltpu.VMEM((block, c_out_pad), jnp.float32),
     ]
+    if d2_mode != "pre":
+        scratch.append(pltpu.VMEM((2, window, _LANE), jnp.float32))
+    scratch.append(pltpu.VMEM((block, c_out_pad), jnp.float32))
     if with_winners:
         out_spec = [out_spec, out_spec]
         out_shape = [
             out_shape, jax.ShapeDtypeStruct((B, M, c_out_pad), jnp.int32)
         ]
         scratch.append(pltpu.VMEM((block, c_out_pad), jnp.int32))
-    scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, n_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # a_pad (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # xyz_pad (HBM)
-            pl.BlockSpec(
-                (1, block, c1_pad), lambda b, blk, starts: (b, blk, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block, _LANE), lambda b, blk, starts: (b, blk, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # R2
-        ] + flat_specs,
-        out_specs=out_spec,
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        starts.reshape(-1).astype(jnp.int32),
-        a_pad,
-        xyz_pad,
-        bc_pad,
-        cen_pad,
-        R2,
-        *flat_params,
-    )
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if d2_mode != "pre":
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if d2_mode == "pre":
+        from eda_tpu.ops.pallas.sa_mask import mask_window, sa_radius_mask
+
+        pen, offs = sa_radius_mask(
+            xyz_sorted,
+            cen_xyz[..., :3],
+            starts,
+            radius=radius,
+            window=window,
+            block=block,
+            interpret=interpret,
+        )
+        wp = mask_window(window)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # starts16, offs
+            grid=(B, n_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # a_pad (HBM)
+                pl.BlockSpec(
+                    (1, block, c1_pad), lambda b, blk, *s: (b, blk, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, wp, block), lambda b, blk, *s: (b, blk, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # R2
+            ] + flat_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            starts.reshape(-1).astype(jnp.int32),
+            offs.reshape(-1).astype(jnp.int32),
+            a_pad,
+            bc_pad,
+            pen,
+            R2,
+            *flat_params,
+        )
+    else:
+        xyz_pad = _pad_lanes(xyz_sorted, _LANE).astype(jnp.float32)
+        cen_pad = _pad_lanes(cen_xyz, _LANE).astype(jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # a_pad (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # xyz_pad (HBM)
+                pl.BlockSpec(
+                    (1, block, c1_pad), lambda b, blk, starts: (b, blk, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, block, _LANE), lambda b, blk, starts: (b, blk, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # R2
+            ] + flat_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            starts.reshape(-1).astype(jnp.int32),
+            a_pad,
+            xyz_pad,
+            bc_pad,
+            cen_pad,
+            R2,
+            *flat_params,
+        )
     if with_winners:
         return out[0][..., :c_out], out[1][..., :c_out]
     return out[..., :c_out]

@@ -63,6 +63,7 @@ def test_d2_mode_resolution(monkeypatch):
     monkeypatch.delenv("EDA_SA_D2", raising=False)
     assert SK._resolve_d2_mode(None) == "pair"
     assert SK._resolve_d2_mode("mxu") == "mxu"
+    assert SK._resolve_d2_mode("pre") == "pre"
     monkeypatch.setenv("EDA_SA_D2", "mxu")
     assert SK._resolve_d2_mode(None) == "mxu"
     assert SK._resolve_d2_mode("pair") == "pair"
@@ -71,7 +72,7 @@ def test_d2_mode_resolution(monkeypatch):
         SK._resolve_d2_mode(None)
 
 
-@pytest.mark.parametrize("d2_mode", ["pair", "mxu"])
+@pytest.mark.parametrize("d2_mode", ["pair", "mxu", "pre"])
 def test_d2_modes_equivalent(d2_mode):
     """Both radius-test strategies compute the same pooled output away from
     the radius boundary. Grid-quantized coordinates keep every pair a safe
@@ -115,6 +116,90 @@ def test_d2_modes_equivalent(d2_mode):
     valid = ref > -1e8
     np.testing.assert_allclose(got[valid], ref[valid], atol=5e-2)
     assert (got[~valid] < -1e8).all()
+
+
+def test_d2_pre_windowed_bitexact_vs_pair():
+    """'pre' (precomputed planar mask, sa_mask.py) must reproduce 'pair'
+    BIT-EXACTLY — outputs AND winner ranks — on windowed inputs away from
+    the radius boundary (grid-quantized coords, r^2 off the grid; the
+    expansion formula can only flip within ~1e-5 of |p-c| == r)."""
+    rng = np.random.default_rng(11)
+    B, N, M, c1 = 2, 512, 32, 8
+    xyz = np.sort(
+        (rng.integers(-30, 30, (B, N, 3)) * 0.05).astype(np.float32), axis=1
+    )
+    A = rng.normal(size=(B, N, c1)).astype(np.float32)
+    ranks = np.stack([np.sort(rng.permutation(N)[:M]) for _ in range(B)])
+    cen = np.take_along_axis(xyz, ranks[..., None], 1)
+    b_c = rng.normal(size=(B, M, c1)).astype(np.float32)
+    k1 = rng.normal(size=(c1, 8)).astype(np.float32) * 0.4
+    k2 = rng.normal(size=(8, 16)).astype(np.float32) * 0.4
+    layer_params = [
+        (jnp.zeros((1, 1)), jnp.zeros(c1), jnp.ones(c1), jnp.zeros(c1)),
+        (jnp.asarray(k1), jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1),
+         jnp.asarray((1 + 0.1 * rng.normal(size=(8,))).astype(np.float32)),
+         jnp.asarray((0.1 * rng.normal(size=(8,))).astype(np.float32))),
+        (jnp.asarray(k2), jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1),
+         jnp.ones(16), jnp.zeros(16)),
+    ]
+    W = 256
+    mids = ranks.reshape(B, M // 16, 16)[:, :, 8]
+    starts = np.clip(mids - W // 2, 0, N - W).astype(np.int32)
+    outs = {}
+    for mode in ("pair", "pre"):
+        out, winners = SK.sa_pair_pool_pallas(
+            jnp.asarray(A), jnp.asarray(xyz), jnp.asarray(b_c),
+            jnp.asarray(cen), jnp.asarray(starts), layer_params,
+            radius=float(np.sqrt(0.4113)), window=W, block=16, wc=128,
+            interpret=True, with_winners=True, d2_mode=mode,
+        )
+        outs[mode] = (np.asarray(out), np.asarray(winners))
+    np.testing.assert_array_equal(outs["pre"][0], outs["pair"][0])
+    np.testing.assert_array_equal(outs["pre"][1], outs["pair"][1])
+    # sanity: the mask actually excluded pairs (not an all-ones mask)
+    assert (outs["pair"][0] > -1e8).any()
+    d2 = ((xyz[:, None, :, :] - cen[:, :, None, :]) ** 2).sum(-1)
+    assert (d2 > 0.4113).any()
+
+
+def test_sa_radius_mask_matches_numpy():
+    """The planar mask kernel (sa_mask.sa_radius_mask) reproduces the direct
+    |p-c|^2 <= r^2 test on quantized coords, window for window, including
+    the start128 re-alignment offsets and out-of-cloud padding lanes."""
+    from eda_tpu.ops.pallas.sa_mask import mask_window, sa_radius_mask
+
+    rng = np.random.default_rng(3)
+    B, N, block, n_blocks, W = 2, 512, 16, 4, 256
+    r2 = 0.4113
+    xyz = np.sort(
+        (rng.integers(-30, 30, (B, N, 3)) * 0.05).astype(np.float32), axis=1
+    )
+    cen = (rng.integers(-30, 30, (B, n_blocks * block, 3)) * 0.05).astype(
+        np.float32
+    )
+    # 16-quantized starts, incl. the max (N - W) edge
+    starts16 = np.stack([
+        rng.integers(0, (N - W) // 16, n_blocks) * 16 for _ in range(B)
+    ]).astype(np.int32)
+    starts16[0, -1] = N - W
+    pen, offs = sa_radius_mask(
+        jnp.asarray(xyz), jnp.asarray(cen), jnp.asarray(starts16),
+        radius=float(np.sqrt(r2)), window=W, block=block, interpret=True,
+    )
+    pen, offs = np.asarray(pen), np.asarray(offs)
+    wp = mask_window(W)
+    assert pen.shape == (B, n_blocks, wp, block)
+    for b in range(B):
+        for nb in range(n_blocks):
+            s128 = (starts16[b, nb] // 128) * 128
+            assert offs[b, nb] == starts16[b, nb] - s128
+            for w in range(wp):
+                p = s128 + w
+                want = (
+                    ((xyz[b, p] - cen[b, nb * block:(nb + 1) * block]) ** 2)
+                    .sum(-1) <= r2
+                ).astype(np.float32) if p < N else np.zeros(block, np.float32)
+                np.testing.assert_array_equal(pen[b, nb, w], want)
 
 
 def test_pallas_kernel_winner_export(interpret_kernel):
