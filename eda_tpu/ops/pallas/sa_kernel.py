@@ -60,9 +60,15 @@ _LANE = 128
 # launches lose to streaming VPU work (same lesson as the round-2
 # point-major A/B). That A/B also fully explains the round-3
 # BENCH(247.4)-vs-README(283) gap: the 'mxu' flip shipped unmeasured.
-# 'pre' removes the per-tile d2 ALTOGETHER rather than re-placing it; it
-# flips to default only with a committed winning A/B. Resolved at CALL
-# time (not import) so tests can parametrize modes without
+# 'pre' removes the per-tile d2 ALTOGETHER rather than re-placing it, but
+# the round-4 on-device A/B was ALSO negative: per-segment column-slice
+# wheres measured fwd 249.2, and the restructured pair-layout expansion
+# (repeat + rowwise dot with the resident R2 matrix, one broadcast-where —
+# the shape kept below) fwd 264.3 / train 97.3 vs pair's same-session
+# 282.9 / 100.6. Lesson: the pair grid's d2 math is ~free because it fuses
+# into passes that stream anyway; ANY mask expansion to pair layout adds
+# whole passes plus the pen DMA. Kept as a documented mode. Resolved at
+# CALL time (not import) so tests can parametrize modes without
 # importlib.reload; override per call via ``d2_mode=`` or ambient default
 # via ``EDA_SA_D2``.
 #
@@ -255,10 +261,20 @@ def _make_kernel(
 
         def tile_body(t):
             if d2_pre:
-                # (wc, cm) mask slice for this tile: precomputed in-radius
-                # flags in the exact per-segment column layout — no
-                # geometry work on the pair grid at all
+                # (wc, cm) mask slice for this tile, expanded to the pair
+                # layout as ONE (P, 1) column: repeat tiles pen_t so row
+                # c*wc+p holds pen_t[p, :], and the rowwise dot with the
+                # 0/1 R2 matrix (already resident for bc expansion) picks
+                # lane c — 3 cheap passes over (P, cm=16) lanes, then the
+                # same single broadcast-where as 'pair' mode. Per-segment
+                # column-slice wheres (the 'mxu'-mode structure) measured
+                # ~13% slower end to end than this shape.
                 pen_t = pen_ref[0, 0, pl.ds(pen_off + t * wc, wc), :]
+                pen_pair = jnp.sum(
+                    pltpu.repeat(pen_t, cm, axis=0) * R2,
+                    axis=1, keepdims=True,
+                )  # (P, 1)
+                in_radius = pen_pair > 0.5
             elif d2_mxu:
                 xw = xyz_win[pl.ds(t * wc, wc), :]  # (wc, 128) f32
                 xw_sh = xw - origin  # (wc, 128)
@@ -317,16 +333,7 @@ def _make_kernel(
             # cost of the segment reductions themselves). In mxu d2 mode
             # the radius mask applies per segment from the (wc, cm) d2
             # columns, fused into the same per-center slices.
-            if d2_pre:
-                masked_segs = [
-                    jnp.where(
-                        pen_t[:, c:c + 1] > 0.5,
-                        hf[c * wc:(c + 1) * wc, :],
-                        _NEG,
-                    )
-                    for c in range(cm)
-                ]
-            elif d2_mxu:
+            if d2_mxu:
                 masked_segs = [
                     jnp.where(
                         pc[:, c:c + 1] <= thr,

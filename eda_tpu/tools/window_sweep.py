@@ -46,6 +46,8 @@ def _force(x):
 
 
 def parse_windows(spec: str, cfg: ModelConfig):
+    if spec == "default":
+        return tuple(cfg.sa_windows)
     if spec == "dense":
         return tuple(max(cfg.num_points, 4 * n) for n in cfg.sa_npoints)
     return tuple(int(x) for x in spec.split(","))
@@ -73,6 +75,16 @@ def main():
                  "512,128,128,128"],
         help="window settings to evaluate",
     )
+    ap.add_argument(
+        "--impl", default="fused", choices=["fused", "gather"],
+        help="SA implementation for BOTH training and eval. 'gather' is the "
+        "reference-exact path (ball query + nsample cap + BatchNorm, "
+        "models/pointnet2.py) — its parameters are a different tree (BN vs "
+        "LN), so the fused-vs-gather accuracy delta is measured with twin "
+        "trainings at the same seed/steps/data, one per impl; windows only "
+        "apply to the fused path (gather evaluates once, ignoring --sweep).",
+    )
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     base = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
@@ -100,20 +112,22 @@ def main():
             jnp.asarray, gen.batch(range(lo, hi), butd=base.butd)
         )
 
-    train_cfg = base
+    train_cfg = dataclasses.replace(base, sa_impl=args.impl)
     if args.train_windows != "default":
         train_cfg = dataclasses.replace(
-            base, sa_windows=parse_windows(args.train_windows, base)
+            train_cfg, sa_windows=parse_windows(args.train_windows, base)
         )
     if args.eval_on_train:
         # overfit probe: dropout noise roughly halves the memorization rate
         # (measured on the tiny config); the knob under test is the window,
         # not regularization
         train_cfg = dataclasses.replace(train_cfg, dropout=0.0)
+    if args.impl == "gather":
+        args.sweep = ["default"]  # windows are a fused-path knob
     model = EDAGrounder(train_cfg)
     batch0 = make_batch(0, args.batch)
     variables = jax.jit(
-        lambda: model.init(jax.random.key(0), batch0["inputs"], train=False)
+        lambda: model.init(jax.random.key(args.seed), batch0["inputs"], train=False)
     )()
 
     from eda_tpu.train import TrainState, make_optimizer, make_train_step
@@ -131,7 +145,7 @@ def main():
     )
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     step = make_train_step(model, crit, donate=False)
-    rng = jax.random.key(0)
+    rng = jax.random.key(args.seed)
     n_train_batches = 4
     batches = [
         make_batch(i * args.batch, (i + 1) * args.batch)
@@ -153,7 +167,9 @@ def main():
 
     for spec in args.sweep:
         windows = parse_windows(spec, base)
-        eval_model = EDAGrounder(dataclasses.replace(base, sa_windows=windows))
+        eval_model = EDAGrounder(
+            dataclasses.replace(base, sa_windows=windows, sa_impl=args.impl)
+        )
 
         @jax.jit
         def fwd(v, inputs):
@@ -170,11 +186,13 @@ def main():
                 t_fwd = dt if t_fwd is None else min(t_fwd, dt)
             ev.evaluate(out, b["targets"])
         rec = {
+            "impl": args.impl,
             "sa_windows": list(windows),
             "acc_025_top1": round(ev.accuracy("last_", 0.25, 1, "bbs"), 4),
             "acc_05_top1": round(ev.accuracy("last_", 0.5, 1, "bbs"), 4),
             "train_windows": list(train_cfg.sa_windows),
             "steps": args.steps,
+            "seed": args.seed,
         }
         if t_fwd:
             rec["fwd_scenes_per_sec"] = round(args.batch / t_fwd, 2)
