@@ -121,6 +121,70 @@ def test_butd_cls_filter_flips_hit_to_miss(rng):
     assert ev3.accuracy("last_", 0.25, 1, "bbs") == 1.0
 
 
+def test_fused_multi_scoring_matches_per_call(rng):
+    """The stacked (P, M, B, 10) scorer the evaluator now uses — and its
+    precomputed ``ious=`` entry point — must count exactly like per-(prefix,
+    mode) ``_score_and_iou`` calls did."""
+    from eda_tpu.eval.grounding import _score_and_iou
+
+    end_points, targets = make_eval_case(rng, perfect=True)
+    hardness = {
+        "is_view_dep": np.array([True, False]),
+        "is_hard": np.zeros(B, bool),
+        "is_unique": np.ones(B, bool),
+    }
+    ev = GroundingEvaluator(prefixes=("last_",))
+    ev.evaluate(end_points, targets, hardness)
+
+    stacked = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(
+                        _score_and_iou(end_points, targets, prefix=p, mode=m)
+                    )
+                    for m in ev.modes
+                ]
+            )
+            for p in ev.prefixes
+        ]
+    )
+    ev_pre = GroundingEvaluator(prefixes=("last_",))
+    ev_pre.evaluate(None, None, hardness, ious=stacked)
+    assert ev_pre.dets == ev.dets
+    assert ev_pre.gts == ev.gts
+
+
+def test_fused_scoring_applies_butd_cls_filter(rng):
+    """make_eval_score_step-style target injection (``__det_boxes``) through
+    the stacked scorer matches the evaluator's own filter branch."""
+    from eda_tpu.eval.grounding import _score_and_iou_multi
+
+    end_points, targets = make_eval_case(rng, perfect=True)
+    det_boxes = np.zeros((B, 4, 6), np.float32)
+    det_boxes[:, :, :3] = -50.0
+    det_boxes[:, :, 3:] = 0.5
+    det_mask = np.ones((B, 4), bool)
+    inputs = {"det_boxes": jnp.asarray(det_boxes), "det_mask": jnp.asarray(det_mask)}
+
+    ev = GroundingEvaluator(prefixes=("last_",), filter_non_gt_boxes=True)
+    ev.evaluate(end_points, targets, inputs=inputs)
+
+    stacked = np.asarray(
+        _score_and_iou_multi(
+            end_points,
+            {**targets, "__det_boxes": inputs["det_boxes"],
+             "__det_mask": inputs["det_mask"]},
+            prefixes=ev.prefixes,
+            modes=ev.modes,
+        )
+    )
+    ev_pre = GroundingEvaluator(prefixes=("last_",), filter_non_gt_boxes=True)
+    ev_pre.evaluate(None, None, ious=stacked)
+    assert ev_pre.dets == ev.dets
+    assert ev_pre.gts == ev.gts
+
+
 def test_grounding_evaluator_merge(rng):
     e1, t1 = make_eval_case(rng, perfect=True)
     ev1 = GroundingEvaluator(prefixes=("last_",))

@@ -178,6 +178,41 @@ def test_eval_step_sharded_matches_single_device():
     assert ev_dp.gts == ev_single.gts
 
 
+def test_eval_score_step_matches_separate_forward_and_scoring():
+    """The fused forward+scoring step (one dispatch, one fetch — the
+    train.py:evaluate loop) counts exactly like the two-stage path, on a
+    single device and data-sharded over the mesh."""
+    from eda_tpu.eval import GroundingEvaluator
+    from eda_tpu.parallel import to_host_global
+    from eda_tpu.train import make_eval_score_step, make_eval_step
+
+    model, crit, state, batch = tiny_setup(batch=8)
+    eval_fn = make_eval_step(model)
+    ep, _ = eval_fn(state.params, state.batch_stats, batch)
+    ev_ref = GroundingEvaluator(prefixes=("last_", "proposal_"))
+    ev_ref.evaluate(ep, batch["targets"])
+
+    score_fn = make_eval_score_step(
+        model, prefixes=ev_ref.prefixes, modes=ev_ref.modes
+    )
+
+    def run(batch_in):
+        ious = to_host_global(
+            score_fn(state.params, state.batch_stats, batch_in)
+        )
+        ev = GroundingEvaluator(prefixes=("last_", "proposal_"))
+        ev.evaluate(None, None, ious=ious)
+        return ev
+
+    ev_fused = run(batch)
+    assert ev_fused.dets == ev_ref.dets
+    assert ev_fused.gts == ev_ref.gts
+
+    ev_dp = run(shard_batch(batch, make_mesh()))
+    assert ev_dp.dets == ev_ref.dets
+    assert ev_dp.gts == ev_ref.gts
+
+
 def test_to_host_global_replicates_sharded_arrays(monkeypatch):
     """to_host_global fetches sharded global arrays correctly, and its
     multi-host branch (process_allgather through a jitted replicating

@@ -496,8 +496,8 @@ def evaluate(
     import jax.numpy as jnp
 
     from eda_tpu.eval import GroundingEvaluator
-    from eda_tpu.parallel import shard_batch
-    from eda_tpu.train import make_eval_step
+    from eda_tpu.parallel import shard_batch, to_host_global
+    from eda_tpu.train import make_eval_score_step
 
     if args.test_dataset == "scannet":
         return evaluate_detection(args, model, state, model_cfg, logger, mesh)
@@ -506,16 +506,24 @@ def evaluate(
     cache_key = ("loader", split)
     if cache_key not in _EVAL_CACHE:
         _EVAL_CACHE[cache_key] = make_loader(args, model_cfg, split, for_eval=True)
-    if "eval_fn" not in _EVAL_CACHE:
-        _EVAL_CACHE["eval_fn"] = make_eval_step(model)
-    gen, n_val = _EVAL_CACHE[cache_key]
-    eval_fn = _EVAL_CACHE["eval_fn"]
     evaluator = GroundingEvaluator(
         prefixes=("last_", "proposal_"),
         # SR3D/NR3D protocol: predictions must overlap a detected box
         # (train_dist_mod.py:157-161 passes args.butd_cls)
         filter_non_gt_boxes=args.butd_cls,
     )
+    score_key = ("eval_score_fn", args.butd_cls)
+    if score_key not in _EVAL_CACHE:
+        # forward + all prefix/mode scoring fused into one dispatch; the
+        # evaluator only consumes the (P, M, B, 10) IoU stack
+        _EVAL_CACHE[score_key] = make_eval_score_step(
+            model,
+            prefixes=evaluator.prefixes,
+            modes=evaluator.modes,
+            filter_non_gt_boxes=args.butd_cls,
+        )
+    gen, n_val = _EVAL_CACHE[cache_key]
+    score_fn = _EVAL_CACHE[score_key]
     bsz = max(args.batch_size, 1)
     if mesh is not None:  # batch must divide over the data axis
         n_dev = mesh.shape["data"]
@@ -524,6 +532,12 @@ def evaluate(
     pairs = tail_chunks(n_val, bsz)
     chunks = [idx for idx, _ in pairs]
     valids = [valid for _, valid in pairs]
+    # one-deep pipeline: dispatch batch i+1 BEFORE fetching batch i's IoU
+    # stack, so the per-batch device->host round-trip (~35 ms through a
+    # tunneled backend) overlaps the next batch's on-device compute instead
+    # of serializing with it (jax dispatch is async; to_host_global blocks
+    # only the host)
+    pending = None
     for batch_np, valid in zip(
         prefetch_batches(gen, chunks, model_cfg.butd, args.num_workers), valids
     ):
@@ -531,10 +545,17 @@ def evaluate(
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
-        end_points, _ = eval_fn(state.params, state.batch_stats, batch)
+        ious_dev = score_fn(state.params, state.batch_stats, batch)
+        if pending is not None:
+            p_ious, p_hard, p_valid = pending
+            evaluator.evaluate(
+                None, None, p_hard, valid=p_valid, ious=to_host_global(p_ious)
+            )
+        pending = (ious_dev, hardness, valid)
+    if pending is not None:
+        p_ious, p_hard, p_valid = pending
         evaluator.evaluate(
-            end_points, batch["targets"], hardness, valid=valid,
-            inputs=batch["inputs"],
+            None, None, p_hard, valid=p_valid, ious=to_host_global(p_ious)
         )
     logger.info("\n%s", evaluator.print_stats())
     if writer is not None:
