@@ -150,6 +150,28 @@ def _iou_corner(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / max(va + vb - inter, 1e-9))
 
 
+def generalized_box_iou_corners(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise GIoU for corner-format (N, 6)/(M, 6) xyzxyz boxes -> (N, M).
+
+    Numpy port of the reference's ``utils/eval_det.py:87-131``
+    ``generalized_box_iou3d`` (the copy its ``eval_grounding`` uses): plain
+    GIoU = IoU - (hull - union) / hull, no epsilon guards — callers must
+    pass non-degenerate boxes (the reference asserts the same).
+    """
+    assert (a[:, 3:] >= a[:, :3]).all() and (b[:, 3:] >= b[:, :3]).all()
+    lo = np.maximum(a[:, None, :3], b[None, :, :3])
+    hi = np.minimum(a[:, None, 3:], b[None, :, 3:])
+    inter = np.clip(hi - lo, 0, None).prod(-1)
+    va = np.prod(a[:, 3:] - a[:, :3], -1)
+    vb = np.prod(b[:, 3:] - b[:, :3], -1)
+    union = va[:, None] + vb[None, :] - inter
+    iou = inter / union
+    hull_lo = np.minimum(a[:, None, :3], b[None, :, :3])
+    hull_hi = np.maximum(a[:, None, 3:], b[None, :, 3:])
+    hull = np.clip(hull_hi - hull_lo, 0, None).prod(-1)
+    return iou - (hull - union) / hull
+
+
 def voc_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     """All-point interpolated VOC AP (utils/eval_det.py:30-66, use_07=False)."""
     mrec = np.concatenate([[0.0], recall, [1.0]])
@@ -206,6 +228,46 @@ class APCalculator:
         out["mAP"] = float(np.mean(aps)) if aps else 0.0
         out["AR"] = float(np.mean(recs)) if recs else 0.0
         return out
+
+    def compute_accuracy(
+        self, ovthresh: float | None = None
+    ) -> Dict[int, float]:
+        """GIoU-based grounding accuracy at top-{1,5,10}.
+
+        Port of ``APCalculator.compute_accuracy`` -> ``eval_grounding``
+        (``models/ap_helper.py:355-358``, ``utils/eval_det.py:364-413``):
+        per scan, predictions sorted by score (stable descending, matching
+        Python ``sorted``), GIoU of the top-k boxes against the FIRST GT box
+        (``target[:1]``), a hit when any exceeds the threshold. Class labels
+        are ignored — only geometry scores. Dead code in the reference
+        (nothing calls ``compute_accuracy``); kept for surface parity.
+        A scan with no predictions counts as a miss (the reference would
+        raise on the empty unpack — deviation pinned in the parity test
+        docstring).
+        """
+        if ovthresh is None:
+            ovthresh = self.iou_thresh
+        ks = (1, 5, 10)
+        score = {k: 0.0 for k in ks}
+        count = 0.0
+        for sid, gts in self._gt.items():
+            if not gts:
+                continue
+            count += 1.0
+            preds = self._pred.get(sid, [])
+            if not preds:
+                continue
+            order = sorted(range(len(preds)), key=lambda i: -preds[i][2])
+            boxes = np.stack([preds[i][1] for i in order])  # (N, 6)
+            target = gts[0][1][None, :]  # (1, 6) — target[:1]
+            giou = generalized_box_iou_corners(boxes, target)[:, 0]
+            for k in ks:
+                if giou[:k].max() >= ovthresh:
+                    score[k] += 1.0
+        for k in ks:
+            if count:
+                score[k] /= count
+        return score
 
     def _eval_class(self, cls: int) -> Tuple[float, float]:
         # gather gt per scan

@@ -140,6 +140,60 @@ def test_nms_3d_plain_parity(ref_nms, seed):
     assert list(ref_pick) == ours.tolist()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("old_type", [False, True])
+def test_nms_2d_parity(ref_nms, seed, old_type):
+    """2D variant matches ``nms_2d_faster`` (utils/nms.py:44-84) under both
+    overlap normalizations (true IoU and the legacy candidate-area mode)."""
+    from eda_tpu.eval.nms import nms_2d
+
+    rng = np.random.default_rng(200 + seed)
+    n = 60
+    lo = rng.uniform(0.0, 4.0, (n, 2))
+    size = rng.uniform(0.2, 2.0, (n, 2))
+    boxes = np.concatenate([lo, lo + size], -1)
+    scores = rng.uniform(0.01, 1.0, n)
+    arr = np.concatenate([boxes, scores[:, None]], -1)
+    ref_pick = ref_nms.nms_2d_faster(arr, 0.25, old_type=old_type)
+    ours = nms_2d(boxes, scores, 0.25, old_type=old_type)
+    assert list(ref_pick) == ours.tolist()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("ovthresh", [0.25, 0.5])
+def test_grounding_giou_accuracy_parity(ref_eval_det, seed, ovthresh):
+    """``APCalculator.compute_accuracy`` matches ``eval_grounding``
+    (utils/eval_det.py:364-413): stable score-descending sort, GIoU of the
+    top-{1,5,10} boxes vs the FIRST GT box, per-scan hit averaging. Every
+    scan here has >=1 GT and >=1 prediction (the reference crashes on
+    empties; ours counts no-pred scans as misses — pinned deviation)."""
+    from eda_tpu.eval.detection import APCalculator
+
+    rng = np.random.default_rng(300 + seed)
+    n_scans = 12
+    pred_all, gt_all = {}, {}
+    calc = APCalculator(iou_thresh=ovthresh)
+    for sid in range(n_scans):
+        n_pred = int(rng.integers(1, 14))
+        boxes = _random_boxes(rng, n_pred)
+        scores = np.round(rng.uniform(0.0, 1.0, n_pred), 2)  # force ties
+        gts = _random_boxes(rng, int(rng.integers(1, 4)))
+        # reference consumes raw corner sets; (2, 3) [lo, hi] min/max-reduces
+        # to the same ends through corners_to_ends (eval_det.py:81-84)
+        pred_all[sid] = [
+            (0, b.reshape(2, 3), float(s)) for b, s in zip(boxes, scores)
+        ]
+        gt_all[sid] = [(0, g.reshape(2, 3)) for g in gts]
+        calc.step(
+            [[(0, b, float(s)) for b, s in zip(boxes, scores)]],
+            [[(0, g) for g in gts]],
+        )
+    ref = ref_eval_det.eval_grounding(pred_all, gt_all, ovthresh=ovthresh)
+    ours = calc.compute_accuracy(ovthresh)
+    for k in (1, 5, 10):
+        assert ours[k] == pytest.approx(ref[k]), (k, ours, ref)
+
+
 # ---------------------------------------------------------------------------
 # Oriented box IoU (box_util.py)
 # ---------------------------------------------------------------------------
