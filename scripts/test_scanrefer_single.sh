@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# Evaluate a two-stage ScanRefer checkpoint (reference
-# scripts/test_scanrefer.sh, full flag set).
+# Evaluate a SINGLE-STAGE ScanRefer checkpoint (reference
+# scripts/test_scanrefer_single.sh: no detected-box stream — no --butd).
 python train.py \
     --num_decoder_layers 6 \
     --use_color \
@@ -12,6 +12,6 @@ python train.py \
     --detect_intermediate --joint_det \
     --use_soft_token_loss --use_contrastive_align \
     --lr_decay_epochs 50 75 \
-    --butd --self_attend --augment_det \
-    --eval --checkpoint_path "${1:?usage: test_scanrefer.sh <ckpt>}" \
-    --log_dir "${LOG_DIR:-logs/scanrefer_eval}"
+    --self_attend --augment_det \
+    --eval --checkpoint_path "${1:?usage: test_scanrefer_single.sh <ckpt>}" \
+    --log_dir "${LOG_DIR:-logs/scanrefer_single_eval}"
