@@ -114,3 +114,6 @@ def test_evaluate_loop_matches_independent_serial_recompute(tmp_path):
     assert ev_loop.gts == ev_ref.gts
     # the split has a ragged tail (128 % 5 != 0), so the tail mask engaged
     assert n_val % args.batch_size != 0
+    # _EVAL_CACHE keys (loader shapes, score_fn closure) are model-specific;
+    # don't leak this test's tiny model into a later in-process evaluate
+    train_cli._EVAL_CACHE.clear()
