@@ -85,6 +85,16 @@ def main():
         "apply to the fused path (gather evaluates once, ignoring --sweep).",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--schedule", default="cosine", choices=["cosine", "constant"],
+        help="probe LR schedule. 'cosine' decays to zero over --steps; "
+        "'constant' holds --lr. The overfit calibration "
+        "(tests/test_overfit_convergence.py) measured that cosine-to-zero "
+        "starves the late alignment breakthrough, and the fused SA path "
+        "breaks through LATER than gather at tiny scale — twin comparisons "
+        "under cosine confound schedule with impl (ACCURACY.md §3).",
+    )
+    ap.add_argument("--lr", type=float, default=2e-3)
     args = ap.parse_args()
 
     base = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
@@ -135,14 +145,21 @@ def main():
     crit = SetCriterionConfig(
         num_decoder_layers=train_cfg.num_decoder_layers, dataset="scanrefer"
     )
-    tx = make_optimizer(
+    if args.schedule == "cosine":
         # cosine over exactly the probe's step budget: the overfit probes
         # oscillate near convergence at constant lr (matcher churn)
-        TrainConfig(lr=2e-3, lr_backbone=2e-3, clip_norm=1.0,
-                    lr_scheduler="cosine", max_epoch=1),
-        variables["params"],
-        steps_per_epoch=max(args.steps, 1),
-    )
+        tx = make_optimizer(
+            TrainConfig(lr=args.lr, lr_backbone=args.lr, clip_norm=1.0,
+                        lr_scheduler="cosine", max_epoch=1),
+            variables["params"],
+            steps_per_epoch=max(args.steps, 1),
+        )
+    else:
+        import optax
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(args.lr)
+        )
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     step = make_train_step(model, crit, donate=False)
     rng = jax.random.key(args.seed)
@@ -193,6 +210,8 @@ def main():
             "train_windows": list(train_cfg.sa_windows),
             "steps": args.steps,
             "seed": args.seed,
+            "schedule": args.schedule,
+            "lr": args.lr,
         }
         if t_fwd:
             rec["fwd_scenes_per_sec"] = round(args.batch / t_fwd, 2)
