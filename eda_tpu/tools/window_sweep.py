@@ -95,8 +95,18 @@ def main():
         "under cosine confound schedule with impl (ACCURACY.md §3).",
     )
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument(
+        "--eval-every", type=int, default=0,
+        help="if >0, evaluate the TRAINING scenes every N steps during "
+        "training (train windows/impl) and print a JSON trace line — makes "
+        "long runs yield usable convergence data even when interrupted",
+    )
     args = ap.parse_args()
 
+    if args.dry:
+        # sitecustomize force-registers the remote TPU backend; config.update
+        # after import is the only way to actually get the host CPU
+        jax.config.update("jax_platforms", "cpu")
     base = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
     if args.dry:
         # tiny config: the full-size model cannot reach meaningful overfit
@@ -168,10 +178,30 @@ def main():
         make_batch(i * args.batch, (i + 1) * args.batch)
         for i in range(n_train_batches)
     ]
+    @jax.jit
+    def train_fwd(v, inputs):
+        return model.apply(v, inputs, train=False)
+
+    def trace_accuracy(state):
+        ev = GroundingEvaluator(prefixes=("last_",), modes=("bbs",))
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        for b in batches[: args.eval_batches]:
+            ev.evaluate(train_fwd(v, b["inputs"]), b["targets"])
+        return (ev.accuracy("last_", 0.25, 1, "bbs"),
+                ev.accuracy("last_", 0.5, 1, "bbs"))
+
     for i in range(args.steps):
         state, metrics = step(state, batches[i % n_train_batches], rng)
         if i % 25 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {_force(metrics['loss']):.3f}", file=sys.stderr)
+        if args.eval_every and ((i + 1) % args.eval_every == 0):
+            a25, a50 = trace_accuracy(state)
+            print(json.dumps({
+                "trace": True, "impl": args.impl, "seed": args.seed,
+                "step": i + 1, "acc_025_top1": round(a25, 4),
+                "acc_05_top1": round(a50, 4),
+                "loss": round(_force(metrics["loss"]), 4),
+            }), flush=True)
 
     if args.eval_on_train:
         eval_batches = batches[: args.eval_batches]
