@@ -19,18 +19,28 @@ node 0 is the main entity carrying target/mod/pron/rel char spans; other
 Object nodes carry their own target spans; ``auxi_entity`` is the first
 non-main Object node (``joint_det_dataset.py:1393-1399``).
 
+Relation attachment mirrors the reference's per-entity dependency walk
+(``spacy_parser.py:221-300`` + edge filter at :436-447): each relation
+phrase is resolved to a clause subject (the nearest preceding entity chunk,
+with conjunction groups inheriting the prior relation's subject and
+comma-separated trailing phrases attaching to the sentence subject — the
+rule-based analog of walking ``token.head`` chains to ROOT/nsubj), and only
+relations whose subject resolves to node 0 reach ``main.rel_char_span``,
+exactly like the reference's ``edge['obj_idx'] == 0`` filter. Relations
+whose backward walk lands on another entity first (``"hanging on the
+window above the desk"`` — ``above`` attaches to *window*) belong to that
+entity's edge, again like the spaCy head chain. The full edge list
+(subject, relation span, landmark) is exposed as ``ParseResult.edges``,
+the analog of the reference's ``graph_edge`` return.
+
 Known deviations (documented, MEASURED benign for the alignment losses):
-* every relation phrase in the utterance is attributed to the main entity
-  (the reference walks the dependency tree to attach relations to specific
-  entity pairs, but the consumed supervision — ``rel_positive_map`` row 0 —
-  only ever uses the main entity's relation spans). Measured on a 1200-
-  utterance template corpus over the full vocabularies
-  (``tests/test_decouple_corpus.py``): other-entity and auxi target spans
-  are span-exact in every relation-bearing case, and swapping the relation
-  phrase leaves them at the same words — the simplification cannot corrupt
-  ``other_entity_map``/auxi supervision;
+* relation WORDS are vocabulary-matched phrases (``vocab.RELATION_PHRASES``)
+  rather than the dependency-path tokens of ``__find_rel_by_root``
+  (:513-559) — the reference's path words are the same prepositions plus
+  occasional verbs its VBN/VBZ/VBG filter already strips;
 * predicate attributes are found by [entity|pronoun] COPULA ADJ* patterns
-  instead of dependency arcs (same corpus asserts the predicate templates
+  instead of dependency arcs (the 1200-utterance template corpus in
+  ``tests/test_decouple_corpus.py`` asserts the predicate templates
   span-exactly).
 """
 
@@ -63,9 +73,25 @@ class Node:
 
 
 @dataclasses.dataclass
+class Edge:
+    """One relation edge (reference ``graph_edge`` entry, spacy_parser.py:238-247).
+
+    ``subject_id`` is the node the relation describes (the reference's
+    ``obj_idx`` — the clause subject); ``landmark_id`` the node it points at
+    (the reference's ``sub_idx``), -1 when the relation has no entity after
+    it ("the chair is in the corner" with unrecognized tail).
+    """
+
+    subject_id: int
+    landmark_id: int
+    rel_char_span: List[Span] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class ParseResult:
     nodes: List[Node]
     relations: List[Span]
+    edges: List[Edge] = dataclasses.field(default_factory=list)
 
     @property
     def main(self) -> Optional[Node]:
