@@ -244,6 +244,17 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument(
+        "--impl", default="fused", choices=["fused", "gather"],
+        help="SA implementation: 'fused' is the production TPU path; "
+        "'gather' prices the reference-exact fallback (ball query + "
+        "nsample cap + BN) that the released-.pth parity protocol needs "
+        "(ACCURACY.md preamble)",
+    )
+    parser.add_argument(
+        "--no-mfu", action="store_true",
+        help="skip the analytic-FLOPs MFU accounting (eda_tpu/utils/flops.py)",
+    )
+    parser.add_argument(
         "--fused_qkv",
         type=int,
         default=None,
@@ -251,11 +262,13 @@ def main():
     )
     args = parser.parse_args()
 
+    import dataclasses
+
     cfg = ModelConfig().tiny() if args.dry else ModelConfig(use_bf16=True)
     if args.fused_qkv is not None:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, fused_qkv=bool(args.fused_qkv))
+    if args.impl != "fused":
+        cfg = dataclasses.replace(cfg, sa_impl=args.impl)
     batch_size = 2 if args.dry else args.batch
     text_len = 32 if args.dry else 64
 
@@ -295,21 +308,54 @@ def main():
     scenes_per_sec = bench_forward(model, variables, batch, iters=args.iters)
     print(f"forward: {scenes_per_sec:.2f} scenes/sec", file=sys.stderr)
 
+    tps = None
     if not args.no_train:
         tps = bench_train(model, variables, batch, cfg, iters=max(2, args.iters // 2))
         print(f"train: {tps:.2f} scenes/sec", file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": "grounding_train_throughput",
-                    "value": round(tps, 3),
-                    "unit": "scenes/sec/chip",
-                    "vs_baseline": round(
-                        tps / A100_TRAIN_BASELINE_SCENES_PER_SEC, 3
-                    ),
-                }
-            )
+
+    # Analytic-FLOPs MFU (eda_tpu/utils/flops.py): issued vs useful matmul
+    # FLOP/s against the v5e bf16 MXU peak. Fused path only — the gather
+    # path's grouped-MLP shape needs a different model and is priced by its
+    # own throughput line.
+    mfu = {}
+    if not args.no_mfu and args.impl == "fused" and not args.dry:
+        from eda_tpu.utils.flops import measure_sa_occupancy, mfu_summary
+
+        pcs = np.asarray(batch["inputs"]["point_clouds"][:4])
+        occ = measure_sa_occupancy(pcs, cfg)
+        mfu = mfu_summary(
+            cfg, batch_size, text_len,
+            fwd_time_s=batch_size / scenes_per_sec,
+            train_time_s=(batch_size / tps) if tps else None,
+            occupancy=occ,
         )
+        print(
+            "mfu: fwd {:.1%} (useful {:.1%}){}; occupancy {}".format(
+                mfu["fwd_mfu"], mfu["fwd_useful_mfu"],
+                ", train {:.1%} (useful {:.1%})".format(
+                    mfu["train_mfu"], mfu["train_useful_mfu"]
+                ) if tps else "",
+                [round(o, 3) for o in occ],
+            ),
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "mfu_accounting",
+            **{k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in mfu.items()},
+        }))
+
+    if tps is not None:
+        train_line = {
+            "metric": "grounding_train_throughput",
+            "value": round(tps, 3),
+            "unit": "scenes/sec/chip",
+            "vs_baseline": round(tps / A100_TRAIN_BASELINE_SCENES_PER_SEC, 3),
+        }
+        if mfu.get("train_mfu"):
+            train_line["mfu"] = round(mfu["train_mfu"], 4)
+            train_line["useful_mfu"] = round(mfu["train_useful_mfu"], 4)
+        print(json.dumps(train_line))
 
     if args.eval:
         eps = bench_eval(model, variables, batch)
@@ -327,16 +373,16 @@ def main():
 
     # headline (forward) line prints LAST so a last-JSON-line parser keeps
     # reading the same metric as previous rounds
-    print(
-        json.dumps(
-            {
-                "metric": "grounding_forward_throughput",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec/chip",
-                "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),
-            }
-        )
-    )
+    fwd_line = {
+        "metric": "grounding_forward_throughput",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec/chip",
+        "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),
+    }
+    if mfu.get("fwd_mfu"):
+        fwd_line["mfu"] = round(mfu["fwd_mfu"], 4)
+        fwd_line["useful_mfu"] = round(mfu["fwd_useful_mfu"], 4)
+    print(json.dumps(fwd_line))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,18 @@ Known deviations (documented, MEASURED benign for the alignment losses):
   rather than the dependency-path tokens of ``__find_rel_by_root``
   (:513-559) — the reference's path words are the same prepositions plus
   occasional verbs its VBN/VBZ/VBG filter already strips;
+* the subject walk is positional (tokens backward) rather than a true
+  dependency-head chain, so clause structure the walk cannot see (e.g. a
+  relative clause whose verb re-attaches high: "the chair you see when
+  facing the desk") resolves to the nearest entity instead of the spaCy
+  head;
+* relation phrases whose subject is node 0 but whose landmark is not a
+  parsed entity ("the monitor on the left" — *left* is an attribute word)
+  KEEP their rel span on the main node with ``landmark_id == -1``; the
+  reference only emits rel spans through entity-to-entity edges
+  (:221-300 iterates landmark entities), so it silently drops these — the
+  spatial phrase still carries grounding signal, so dropping it would
+  weaken ``rel_positive_map`` supervision for no parity gain;
 * predicate attributes are found by [entity|pronoun] COPULA ADJ* patterns
   instead of dependency arcs (the 1200-utterance template corpus in
   ``tests/test_decouple_corpus.py`` asserts the predicate templates
@@ -287,6 +299,126 @@ def _chunk(toks: List[_Tok]) -> List[_Chunk]:
     return chunks
 
 
+def _is_transparent(toks: List[_Tok], c: "_Chunk") -> bool:
+    """Scene chunk headed only by structural words the reference's entity
+    filter drops entirely (left/corner/middle/... — not in its scene-noun
+    file, spacy_parser.py:130-163): no node, no subject, no landmark."""
+    return c.kind == "Scene" and all(
+        toks[h].lower in vocab.TRANSPARENT_SCENE_WORDS for h in c.head_idx
+    )
+
+
+def _rel_groups(toks: List[_Tok]) -> List[List[int]]:
+    """Relation phrases as lists of consecutive token indices, text order."""
+    by_group: dict = {}
+    for i, t in enumerate(toks):
+        if t.kind == "REL":
+            by_group.setdefault(t.rel_group, []).append(i)
+    return [by_group[g] for g in sorted(by_group, key=lambda g: by_group[g][0])]
+
+
+_SENT_END = frozenset(".;!?")
+
+
+def _resolve_relations(toks, chunks, node_of_chunk, groups):
+    """Resolve each relation phrase to its (subject, landmark) node ids.
+
+    Rule-based analog of the reference's dependency-head walks
+    (``spacy_parser.py:221-300`` + ``__find_root`` :461-507): walking
+    backward from the relation phrase over non-entity tokens is the analog
+    of walking ``token.head`` chains —
+
+    * first entity chunk hit = the clause subject (``__find_root`` case 2,
+      "object + object complement": "on the [window] above the desk" —
+      *above*'s subject is window);
+    * a comma resets attachment to the sentence subject (spaCy attaches
+      ", by the bed" to the clause ROOT, whose nsubj is the sentence
+      subject — ``__find_root`` case 4 / step-1 nsubj lookup);
+    * a conjunction inherits the previous relation's subject in the same
+      sentence ("left of the table and behind the desk" — conj lifts
+      *behind* to share *left of*'s head, ``__find_rel_by_root``'s conj
+      skip);
+    * nothing before the phrase in its sentence = omitted subject = node 0
+      (the reference's VBN step 3: "placed between other chairs.").
+
+    The landmark is the next entity chunk after the phrase, stopped at
+    punctuation/conjunction/another relation (-1 if none) — the reference's
+    ``idx_s`` entity the walk started from.
+
+    Scene chunks headed by structural words the reference does not treat as
+    entities (``vocab.TRANSPARENT_SCENE_WORDS``: left/corner/middle/...)
+    are transparent to both walks, exactly as the reference's head chains
+    run through them (its entity filter drops those chunks entirely).
+    """
+    n = len(toks)
+    chunk_at = {}
+    transparent = set()
+    for ci, c in enumerate(chunks):
+        for i in range(c.start, c.end):
+            chunk_at[i] = ci
+        if _is_transparent(toks, c):
+            transparent.add(ci)
+    # sentence index per token
+    sent_of = [0] * n
+    s = 0
+    for i, t in enumerate(toks):
+        sent_of[i] = s
+        if t.kind == "PUNCT" and t.text in _SENT_END:
+            s += 1
+    # sentence subject: first chunk with a node id in each sentence
+    sent_subject: dict = {}
+    for ci, c in enumerate(chunks):
+        nid = node_of_chunk.get(ci)
+        if nid is None:
+            continue
+        si = sent_of[c.start]
+        sent_subject.setdefault(si, nid)
+
+    resolved = []
+    prev: dict = {}  # sentence idx -> subject of the previous group there
+    for g in groups:
+        si = sent_of[g[0]]
+        subject = 0
+        j = g[0] - 1
+        while j >= 0:
+            t = toks[j]
+            ci = chunk_at.get(j)
+            if ci is not None and ci in transparent:
+                j = chunks[ci].start - 1
+                continue
+            if ci is not None and node_of_chunk.get(ci) is not None:
+                subject = node_of_chunk[ci]
+                break
+            if t.kind == "PUNCT":
+                if t.text in _SENT_END:
+                    subject = 0  # phrase opens its sentence: omitted subject
+                else:
+                    subject = sent_subject.get(si, 0)
+                break
+            if t.kind == "CONJ" and si in prev:
+                subject = prev[si]
+                break
+            j -= 1  # DET/ADJ/NUM/COP/OTHER/REL and coref-dropped pronouns
+        prev[si] = subject
+
+        landmark = -1
+        k = g[-1] + 1
+        while k < n:
+            t = toks[k]
+            ci = chunk_at.get(k)
+            if ci is not None and ci in transparent:
+                k = chunks[ci].end
+                continue
+            if ci is not None and node_of_chunk.get(ci) is not None:
+                landmark = node_of_chunk[ci]
+                break
+            if t.kind in ("PUNCT", "CONJ", "REL", "COP"):
+                break
+            k += 1  # DET/ADJ/NUM/OTHER
+        resolved.append((subject, landmark))
+    return resolved
+
+
 def parse(caption: str) -> ParseResult:
     """Decouple a caption. See module docstring for the node schema."""
     toks = _tokenize(caption)
@@ -312,9 +444,20 @@ def parse(caption: str) -> ParseResult:
                 break
 
     nodes: List[Node] = []
-    relations = [
-        span(i) for i in range(len(toks)) if toks[i].kind == "REL"
-    ]
+    groups = _rel_groups(toks)
+    relations = [span(i) for g in groups for i in g]
+
+    def build_edges(node_of_chunk):
+        resolved = _resolve_relations(toks, chunks, node_of_chunk, groups)
+        return [
+            Edge(subject, landmark, [span(i) for i in g])
+            for g, (subject, landmark) in zip(groups, resolved)
+        ]
+
+    def main_rels(edges):
+        # only relations whose subject resolves to node 0 reach the main
+        # node (reference edge filter at spacy_parser.py:436-447)
+        return [s for e in edges if e.subject_id == 0 for s in e.rel_char_span]
 
     if main_i is None:
         # hard-coded fallbacks for nouns the parser misses: 'trash can',
@@ -322,34 +465,42 @@ def parse(caption: str) -> ParseResult:
         # (spacy_parser.py:389-432). The vocab usually classifies these as
         # object nouns already; this guards utterances where tagging failed.
         for i, t in enumerate(toks):
+            fb_span = None
             if t.lower == "trash" and i + 1 < len(toks) and toks[i + 1].lower == "can":
+                fb_span = [span(i), span(i + 1)]
+            elif t.lower in ("urinal", "cardboard"):
+                fb_span = [span(i)]
+            if fb_span is not None:
                 main = Node(0, "Object")
-                main.target_char_span = [span(i), span(i + 1)]
-                main.rel_char_span = list(relations)
-                return ParseResult([main], relations)
-            if t.lower in ("urinal", "cardboard"):
-                main = Node(0, "Object")
-                main.target_char_span = [span(i)]
-                main.rel_char_span = list(relations)
-                return ParseResult([main], relations)
-        return ParseResult(nodes, relations)
+                main.target_char_span = fb_span
+                # the fallback noun is the only entity: every relation's
+                # backward walk lands on it (or on nothing) -> node 0
+                fb_chunk = _Chunk([i], [], "Object", i, i + len(fb_span))
+                chunks.append(fb_chunk)
+                edges = build_edges({len(chunks) - 1: 0})
+                main.rel_char_span = main_rels(edges)
+                return ParseResult([main], relations, edges)
+        return ParseResult(nodes, relations, build_edges({}))
 
     main_chunk = chunks[main_i]
     main_head_text = " ".join(toks[h].lower for h in main_chunk.head_idx)
     main = Node(0, "Object")
     main.target_char_span = [span(h) for h in main_chunk.head_idx]
     main.mod_char_span = [span(m) for m in main_chunk.mod_idx]
-    main.rel_char_span = list(relations)
     main.lemma_head = " ".join(vocab.lemma(toks[h].lower) for h in main_chunk.head_idx)
     nodes.append(main)
 
+    node_of_chunk = {main_i: 0}
     ent_id = 0
     for ci, c in enumerate(chunks):
         if ci == main_i:
             continue
+        if _is_transparent(toks, c):
+            continue  # not an entity to the reference: no node
         if c.kind == "Pron":
             if ci > main_i:  # pronouns before the main entity are dropped
                 main.pron_char_span.extend(span(h) for h in c.head_idx)
+                node_of_chunk[ci] = 0  # coref: subject walks land on node 0
             continue
         head_text = " ".join(toks[h].lower for h in c.head_idx)
         first = c.head_idx[0]
@@ -362,6 +513,7 @@ def parse(caption: str) -> ParseResult:
             # its modifiers flow to the main node (spacy_parser.py:436-447).
             main.pron_char_span.extend(span(h) for h in c.head_idx)
             main.mod_char_span.extend(span(m) for m in c.mod_idx)
+            node_of_chunk[ci] = 0
             continue
         ent_id += 1
         node = Node(ent_id, c.kind)
@@ -369,6 +521,10 @@ def parse(caption: str) -> ParseResult:
         node.mod_char_span = [span(m) for m in c.mod_idx]
         node.lemma_head = " ".join(vocab.lemma(toks[h].lower) for h in c.head_idx)
         nodes.append(node)
+        node_of_chunk[ci] = ent_id
+
+    edges = build_edges(node_of_chunk)
+    main.rel_char_span = main_rels(edges)
 
     # predicate attributes: [main | pron] COP (ADJ|NUM|CONJ)* -> mods of main
     # ("the chair is black and wooden", spacy_parser.py:303-323)
@@ -411,7 +567,7 @@ def parse(caption: str) -> ParseResult:
             if span(k) not in main.mod_char_span:
                 main.mod_char_span.append(span(k))
 
-    return ParseResult(nodes, relations)
+    return ParseResult(nodes, relations, edges)
 
 
 def decoupled_spans(caption: str) -> dict:

@@ -36,11 +36,25 @@ def _load_wordlist(name: str) -> FrozenSet[str]:
 
 # the reference's 402-entry scene-noun list (chunks headed by these become
 # Scene nodes, excluded from other/auxi maps) + our structural extras
-SCENE_NOUNS: FrozenSet[str] = _load_wordlist("scene-nouns.txt") | frozenset(
+_SCENE_NOUN_FILE: FrozenSet[str] = _load_wordlist("scene-nouns.txt")
+_SCENE_EXTRAS: FrozenSet[str] = frozenset(
     """room corner center centre middle side end area entrance hallway kitchen
     bathroom bedroom office wall walls floor ceiling doorway alcove nook space
     edge top bottom front back left right row bunch set pair group scene
     """.split()
+)
+SCENE_NOUNS: FrozenSet[str] = _SCENE_NOUN_FILE | _SCENE_EXTRAS
+
+# Structural extras that are NOT entities to the reference (absent from its
+# scene-noun file, so spaCy noun chunks headed by them are filtered out of
+# ``filter_entity_chunks``, spacy_parser.py:130-163): the reference's
+# relation-subject head walks pass straight THROUGH them ("the pillow from
+# the left on the bed" — *on*'s chain runs left -> from -> pillow). The
+# rule-based subject/landmark resolution must treat chunks headed by these
+# as transparent the same way. wall/floor are excluded: they ARE reference
+# entities (485-class Object nouns), just never the main one.
+TRANSPARENT_SCENE_WORDS: FrozenSet[str] = (
+    _SCENE_EXTRAS - _SCENE_NOUN_FILE - frozenset(("wall", "walls", "floor"))
 )
 
 # wall/floor are valid Object chunks but never the main entity

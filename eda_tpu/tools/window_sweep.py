@@ -84,6 +84,13 @@ def main():
         "trainings at the same seed/steps/data, one per impl; windows only "
         "apply to the fused path (gather evaluates once, ignoring --sweep).",
     )
+    ap.add_argument(
+        "--train-batches", type=int, default=4,
+        help="number of training batches (train scenes = batch * this). "
+        "The reference's --debug overfit contract caps annos at 128 "
+        "(main_utils.py:112-113, joint_det_dataset.py:150-151): at the "
+        "default --batch 8 that is --train-batches 16.",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--schedule", default="cosine", choices=["cosine", "constant"],
@@ -173,7 +180,7 @@ def main():
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     step = make_train_step(model, crit, donate=False)
     rng = jax.random.key(args.seed)
-    n_train_batches = 4
+    n_train_batches = args.train_batches
     batches = [
         make_batch(i * args.batch, (i + 1) * args.batch)
         for i in range(n_train_batches)

@@ -98,7 +98,10 @@ CORPUS = [
       "relations": ["under"], "others": ["sink"]}),
     ("scanrefer", "there is a rectangular picture hanging on the wall above the bed .",
      {"main": ["picture"], "modifiers": ["rectangular"],
-      "relations": ["hanging", "on", "above"], "others": ["wall", "bed"]}),
+      # "above the bed" attaches to *wall* (nearest entity = spaCy head),
+      # so its subject is node 1 and the reference's edge filter keeps it
+      # off the main node (spacy_parser.py:436-447)
+      "relations": ["hanging", "on"], "others": ["wall", "bed"]}),
     ("nr3d", "the pillow on the left-hand side of the bed; it's the red one",
      {"main": ["pillow"], "modifiers": ["red"], "pronouns": ["it", "one"],
       "others": ["bed"]}),
@@ -172,31 +175,31 @@ CORPUS = [
     ('scanrefer', 'a small wooden nightstand to the left of the bed .',
      {'main': ['nightstand'], 'modifiers': ['small', 'wooden'], 'relations': ['to', 'the', 'left', 'of'], 'others': ['bed'], 'auxi': ['bed']}),
     ('scanrefer', 'the lamp on the nightstand next to the bed .',
-     {'main': ['lamp'], 'relations': ['on', 'next', 'to'], 'others': ['nightstand', 'bed'], 'auxi': ['nightstand']}),
+     {'main': ['lamp'], 'relations': ['on'], 'others': ['nightstand', 'bed'], 'auxi': ['nightstand']}),
     ('scanrefer', 'this is a blue recycling bin . it is beside the copier .',
      {'main': ['recycling', 'bin'], 'modifiers': ['blue'], 'pronouns': ['it'], 'relations': ['beside'], 'others': ['copier'], 'auxi': ['copier']}),
     ('scanrefer', 'the office chair closest to the window . it is red .',
      {'main': ['office', 'chair'], 'modifiers': ['red'], 'pronouns': ['it'], 'relations': ['closest', 'to'], 'others': ['window'], 'auxi': ['window']}),
     ('scanrefer', 'a large whiteboard on the wall opposite the door .',
-     {'main': ['whiteboard'], 'modifiers': ['large'], 'relations': ['on', 'opposite'], 'others': ['wall', 'door'], 'auxi': ['wall']}),
+     {'main': ['whiteboard'], 'modifiers': ['large'], 'relations': ['on'], 'others': ['wall', 'door'], 'auxi': ['wall']}),
     ('scanrefer', 'the second sink from the left on the bathroom counter .',
      {'main': ['sink'], 'modifiers': ['second'], 'relations': ['on'], 'others': ['bathroom', 'counter'], 'auxi': ['bathroom', 'counter']}),
     ('scanrefer', 'this is a radiator . it is under the window sill .',
      {'main': ['radiator'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['window'], 'auxi': ['window']}),
     ('scanrefer', 'the laundry basket on the floor next to the dresser .',
-     {'main': ['laundry', 'basket'], 'relations': ['on', 'next', 'to'], 'others': ['floor', 'dresser'], 'auxi': ['floor']}),
+     {'main': ['laundry', 'basket'], 'relations': ['on'], 'others': ['floor', 'dresser'], 'auxi': ['floor']}),
     ('scanrefer', 'a green exercise ball in the corner near the desk .',
      {'main': ['exercise', 'ball'], 'modifiers': ['green'], 'relations': ['in', 'near'], 'others': ['desk'], 'auxi': ['desk']}),
     ('scanrefer', 'the keyboard in front of the monitor on the desk .',
-     {'main': ['keyboard'], 'relations': ['in', 'front', 'of', 'on'], 'others': ['monitor', 'desk'], 'auxi': ['monitor']}),
+     {'main': ['keyboard'], 'relations': ['in', 'front', 'of'], 'others': ['monitor', 'desk'], 'auxi': ['monitor']}),
     ('scanrefer', 'this is a mini fridge . it sits under the counter .',
      {'main': ['mini', 'fridge'], 'pronouns': ['it'], 'relations': ['under'], 'others': ['counter'], 'auxi': ['counter']}),
     ('scanrefer', 'the towel hanging on the rack next to the shower .',
-     {'main': ['towel'], 'relations': ['hanging', 'on', 'next', 'to'], 'others': ['rack', 'shower'], 'auxi': ['rack']}),
+     {'main': ['towel'], 'relations': ['hanging', 'on'], 'others': ['rack', 'shower'], 'auxi': ['rack']}),
     ('scanrefer', 'a piece of cardboard leaning against the wall .',
      {'main': ['cardboard'], 'relations': ['leaning', 'against'], 'others': ['wall'], 'auxi': ['wall']}),
     ('scanrefer', 'the urinal on the wall beside the toilet stall .',
-     {'main': ['urinal'], 'relations': ['on', 'beside'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
+     {'main': ['urinal'], 'relations': ['on'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
     ('scanrefer', 'the trash can between the desk and the file cabinet .',
      {'main': ['trash', 'can'], 'relations': ['between'], 'others': ['desk', 'file', 'cabinet'], 'auxi': ['desk']}),
     ('scanrefer', 'this is a printer . the printer is on top of the cabinet .',
@@ -206,11 +209,11 @@ CORPUS = [
     ('scanrefer', 'a stack of chairs against the back wall of the room .',
      {'main': ['stack', 'of', 'chairs'], 'relations': ['against'], 'others': ['back', 'wall'], 'auxi': ['back', 'wall']}),
     ('scanrefer', 'the backpack on the floor under the desk . it is black .',
-     {'main': ['backpack'], 'modifiers': ['black'], 'pronouns': ['it'], 'relations': ['on', 'under'], 'others': ['floor', 'desk'], 'auxi': ['floor']}),
+     {'main': ['backpack'], 'modifiers': ['black'], 'pronouns': ['it'], 'relations': ['on'], 'others': ['floor', 'desk'], 'auxi': ['floor']}),
     ('scanrefer', 'this is the curtain . it covers the window behind the bed .',
-     {'main': ['curtain'], 'relations': ['behind'], 'others': ['window', 'bed'], 'auxi': ['window']}),
+     {'main': ['curtain'], 'relations': [], 'others': ['window', 'bed'], 'auxi': ['window']}),
     ('scanrefer', 'the microwave on the kitchen counter to the right of the stove .',
-     {'main': ['microwave'], 'relations': ['on', 'to', 'the', 'right', 'of'], 'others': ['kitchen', 'counter', 'stove'], 'auxi': ['kitchen', 'counter']}),
+     {'main': ['microwave'], 'relations': ['on'], 'others': ['kitchen', 'counter', 'stove'], 'auxi': ['kitchen', 'counter']}),
     ('scanrefer', 'a tall potted plant in the corner behind the couch .',
      {'main': ['potted', 'plant'], 'modifiers': ['tall'], 'relations': ['in', 'behind'], 'others': ['couch'], 'auxi': ['couch']}),
     ('scanrefer', 'the shelf above the toilet . it holds several towels .',
@@ -218,19 +221,19 @@ CORPUS = [
     ('scanrefer', 'this is a piano bench . it is in front of the piano .',
      {'main': ['piano', 'bench'], 'pronouns': ['it'], 'relations': ['in', 'front', 'of'], 'others': ['piano'], 'auxi': ['piano']}),
     ('scanrefer', 'the guitar leaning against the wall next to the amplifier .',
-     {'main': ['guitar'], 'relations': ['leaning', 'against', 'next', 'to'], 'others': ['wall'], 'auxi': ['wall']}),
+     {'main': ['guitar'], 'relations': ['leaning', 'against'], 'others': ['wall'], 'auxi': ['wall']}),
     ('scanrefer', 'a white pillow at the head of the bed on the left side .',
-     {'main': ['pillow'], 'modifiers': ['white'], 'relations': ['at', 'on'], 'others': ['bed'], 'auxi': ['bed']}),
+     {'main': ['pillow'], 'modifiers': ['white'], 'relations': ['at'], 'others': ['bed'], 'auxi': ['bed']}),
     ('scanrefer', 'the computer tower under the desk beside the drawers .',
-     {'main': ['computer', 'tower'], 'relations': ['under', 'beside'], 'others': ['desk', 'drawers'], 'auxi': ['desk']}),
+     {'main': ['computer', 'tower'], 'relations': ['under'], 'others': ['desk', 'drawers'], 'auxi': ['desk']}),
     ('scanrefer', 'this is a coffee table . it is in the middle of the room .',
      {'main': ['coffee', 'table'], 'pronouns': ['it'], 'relations': ['in', 'the', 'middle', 'of']}),
     ('scanrefer', 'the jacket hanging on the back of the chair .',
      {'main': ['jacket'], 'relations': ['hanging', 'on'], 'others': ['chair'], 'auxi': ['chair']}),
     ('scanrefer', 'a blue suitcase on the floor at the foot of the bed .',
-     {'main': ['suitcase'], 'modifiers': ['blue'], 'relations': ['on', 'at'], 'others': ['floor', 'bed'], 'auxi': ['floor']}),
+     {'main': ['suitcase'], 'modifiers': ['blue'], 'relations': ['on'], 'others': ['floor', 'bed'], 'auxi': ['floor']}),
     ('scanrefer', 'the soap dispenser mounted on the wall above the sink .',
-     {'main': ['soap', 'dispenser'], 'relations': ['mounted', 'on', 'above'], 'others': ['wall', 'sink'], 'auxi': ['wall']}),
+     {'main': ['soap', 'dispenser'], 'relations': ['mounted', 'on'], 'others': ['wall', 'sink'], 'auxi': ['wall']}),
     ('scanrefer', 'this is a ceiling fan . it hangs in the center of the room .',
      {'main': ['ceiling', 'fan'], 'pronouns': ['it'], 'relations': ['in', 'the', 'center', 'of']}),
     ('scanrefer', 'the mirror above the bathroom sink . it is rectangular .',
@@ -238,7 +241,7 @@ CORPUS = [
     ('scanrefer', 'a folded blanket at the end of the bed . it is white .',
      {'main': ['blanket'], 'modifiers': ['folded', 'white'], 'pronouns': ['it'], 'relations': ['at'], 'others': ['bed'], 'auxi': ['bed']}),
     ('scanrefer', 'the water bottle on the desk next to the laptop .',
-     {'main': ['water', 'bottle'], 'relations': ['on', 'next', 'to'], 'others': ['desk', 'laptop'], 'auxi': ['desk']}),
+     {'main': ['water', 'bottle'], 'relations': ['on'], 'others': ['desk', 'laptop'], 'auxi': ['desk']}),
     ('scanrefer', 'this is a shoe rack . it is by the door .',
      {'main': ['shoe', 'rack'], 'pronouns': ['it'], 'relations': ['by'], 'others': ['door'], 'auxi': ['door']}),
     ('scanrefer', 'the armchair in the corner . it is brown leather .',
@@ -252,11 +255,11 @@ CORPUS = [
     ('nr3d', 'select the lamp that is on the desk',
      {'main': ['lamp'], 'relations': ['on'], 'others': ['desk'], 'auxi': ['desk']}),
     ('nr3d', 'facing the bed , choose the nightstand on the right',
-     {'main': ['bed'], 'relations': ['on'], 'others': ['nightstand'], 'auxi': ['nightstand']}),
+     {'main': ['bed'], 'relations': [], 'others': ['nightstand'], 'auxi': ['nightstand']}),
     ('nr3d', 'the trash can that is next to the refrigerator',
      {'main': ['trash', 'can'], 'relations': ['next', 'to'], 'others': ['refrigerator'], 'auxi': ['refrigerator']}),
     ('nr3d', 'when facing the window , it is the curtain on the left side',
-     {'main': ['window'], 'pronouns': ['it'], 'relations': ['on'], 'others': ['curtain'], 'auxi': ['curtain']}),
+     {'main': ['window'], 'pronouns': ['it'], 'relations': [], 'others': ['curtain'], 'auxi': ['curtain']}),
     ('nr3d', 'choose the chair closest to the whiteboard',
      {'main': ['chair'], 'relations': ['closest', 'to'], 'others': ['whiteboard'], 'auxi': ['whiteboard']}),
     ('nr3d', 'the middle cushion on the couch',
@@ -276,7 +279,7 @@ CORPUS = [
     ('nr3d', 'the lamp that is turned on',
      {'main': ['lamp'], 'relations': ['on']}),
     ('nr3d', 'if you are facing the desk , it is the chair on your left',
-     {'main': ['desk'], 'pronouns': ['it'], 'relations': ['on'], 'others': ['chair'], 'auxi': ['chair']}),
+     {'main': ['desk'], 'pronouns': ['it'], 'relations': [], 'others': ['chair'], 'auxi': ['chair']}),
     ('nr3d', 'the first pillow from the left on the bed',
      {'main': ['pillow'], 'modifiers': ['first'], 'relations': ['on'], 'others': ['bed'], 'auxi': ['bed']}),
     ('nr3d', 'the shelf second from the top',
@@ -324,13 +327,13 @@ CORPUS = [
     ('scanrefer', 'this chair is small and black . it is near the piano .',
      {'main': ['chair'], 'modifiers': ['small', 'black'], 'pronouns': ['it'], 'relations': ['near'], 'others': ['piano'], 'auxi': ['piano']}),
     ('scanrefer', 'the rug is round . the couch sits on the rug .',
-     {'main': ['rug'], 'modifiers': ['round'], 'pronouns': ['rug'], 'relations': ['on'], 'others': ['couch'], 'auxi': ['couch']}),
+     {'main': ['rug'], 'modifiers': ['round'], 'pronouns': ['rug'], 'relations': [], 'others': ['couch'], 'auxi': ['couch']}),
     ('scanrefer', 'the file cabinet under the printer stand .',
      {'main': ['file', 'cabinet'], 'relations': ['under'], 'others': ['printer'], 'auxi': ['printer']}),
     ('scanrefer', 'a paper towel dispenser next to the sink .',
      {'main': ['paper', 'towel', 'dispenser'], 'relations': ['next', 'to'], 'others': ['sink'], 'auxi': ['sink']}),
     ('scanrefer', 'the toilet paper holder on the wall beside the toilet .',
-     {'main': ['toilet', 'paper', 'holder'], 'relations': ['on', 'beside'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
+     {'main': ['toilet', 'paper', 'holder'], 'relations': ['on'], 'others': ['wall', 'toilet'], 'auxi': ['wall']}),
     ('scanrefer', 'the kitchen cabinets above the counter .',
      {'main': ['kitchen', 'cabinets'], 'relations': ['above'], 'others': ['counter'], 'auxi': ['counter']}),
     ('scanrefer', 'a shower curtain hanging in front of the bathtub .',
@@ -338,7 +341,7 @@ CORPUS = [
     ('nr3d', 'thats the lamp on the left-hand side of the bed',
      {'main': ['lamp'], 'relations': ['on'], 'others': ['bed'], 'auxi': ['bed']}),
     ('nr3d', "you're facing the desk ; it's the chair in the middle",
-     {'main': ['desk'], 'pronouns': ['it'], 'relations': ['in'], 'others': ['chair'], 'auxi': ['chair']}),
+     {'main': ['desk'], 'pronouns': ['it'], 'relations': [], 'others': ['chair'], 'auxi': ['chair']}),
     ('nr3d', "the shelf that isn't against the wall",
      {'main': ['shelf'], 'relations': ['against'], 'others': ['wall'], 'auxi': ['wall']}),
     ('scanrefer', 'the 5-drawer dresser next to the closet .',
@@ -463,7 +466,7 @@ CORPUS_R3 = [
      {"main": ["shelf"], "relations": ["on", "the", "right", "side", "of"],
       "others": ["refrigerator"], "auxi": ["refrigerator"]}),
     ("scanrefer", "a dresser with 4-drawers next to the bed .",
-     {"main": ["dresser"], "relations": ["next", "to"],
+     {"main": ["dresser"], "relations": [],  # "next to" attaches to drawers
       "others": ["drawers", "bed"], "auxi": ["drawers"]}),
     # 'hole' (a scene-list noun mid-NP) joins the compound head like the
     # reference's compound-to-head extension (spacy_parser.py:113-116)
@@ -608,8 +611,8 @@ CORPUS_R3 = [
      {"main": ["cup"], "relations": ["on"],
       "others": ["kitchen", "counter"], "auxi": ["kitchen", "counter"]}),
     ("sr3d", "the bag under the desk that is closest to the door",
-     {"main": ["bag"], "relations": ["under", "closest", "to"],
-      "others": ["desk", "door"], "auxi": ["desk"]}),
+     {"main": ["bag"],  # the relative clause attaches to *desk*
+      "relations": ["under"], "others": ["desk", "door"], "auxi": ["desk"]}),
     ("sr3d", "the window farthest from the bed",
      {"main": ["window"], "relations": ["farthest", "from"],
       "others": ["bed"]}),
@@ -647,12 +650,12 @@ CORPUS_R3 = [
      {"main": ["towel", "rack"], "relations": ["above"],
       "others": ["towels"]}),
     ("nr3d", "the keyboard in front of the monitor on the left",
-     {"main": ["keyboard"], "relations": ["in", "front", "of", "on"],
-      "others": ["monitor"]}),
+     {"main": ["keyboard"],  # "on the left" attaches to *monitor*
+      "relations": ["in", "front", "of"], "others": ["monitor"]}),
     # -- compound heads, coref with modifiers, view-dependent --
     ("scanrefer", "the white board on the wall to the left of the door .",
      {"main": ["board"], "modifiers": ["white"],
-      "relations": ["on", "to", "the", "left", "of"],
+      "relations": ["on"],  # "to the left of" attaches to *wall*
       "others": ["wall", "door"], "auxi": ["wall"]}),
     ("scanrefer", "a soap dispenser mounted above the sink .",
      {"main": ["soap", "dispenser"], "relations": ["above"],
@@ -688,8 +691,8 @@ CORPUS_R3 = [
      {"main": ["toilet", "paper", "holder"], "relations": ["next", "to"],
       "others": ["toilet"]}),
     ("scanrefer", "the fire extinguisher attached to the wall near the exit .",
-     {"main": ["fire", "extinguisher"],
-      "relations": ["attached", "to", "near"], "others": ["wall"]}),
+     {"main": ["fire", "extinguisher"],  # "near the exit" attaches to *wall*
+      "relations": ["attached", "to"], "others": ["wall"]}),
     ("scanrefer", "a guitar case standing next to the bookshelf .",
      {"main": ["guitar", "case"], "relations": ["next", "to"],
       "others": ["bookshelf"]}),
@@ -720,13 +723,14 @@ CORPUS_R3 = [
      {"main": ["yoga", "mat"], "modifiers": ["purple", "rolled"],
       "relations": ["under"], "others": ["bench"]}),
     ("scanrefer", "the water bottle on the nightstand by the bed .",
-     {"main": ["water", "bottle"], "relations": ["on", "by"],
-      "others": ["nightstand", "bed"], "auxi": ["nightstand"]}),
+     {"main": ["water", "bottle"],  # "by the bed" attaches to *nightstand*
+      "relations": ["on"], "others": ["nightstand", "bed"],
+      "auxi": ["nightstand"]}),
     ("scanrefer", "the armchair facing the fireplace .",
      {"main": ["armchair"], "others": ["fireplace"]}),
     ("scanrefer", "the cardboard box on the floor next to the shelf .",
-     {"main": ["cardboard", "box"], "relations": ["on", "next", "to"],
-      "others": ["floor", "shelf"], "auxi": ["floor"]}),
+     {"main": ["cardboard", "box"],  # "next to the shelf" attaches to *floor*
+      "relations": ["on"], "others": ["floor", "shelf"], "auxi": ["floor"]}),
     ("scanrefer", "the whiteboard eraser on the whiteboard ledge .",
      {"main": ["whiteboard", "eraser"], "relations": ["on"],
       "others": ["whiteboard", "ledge"]}),

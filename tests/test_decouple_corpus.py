@@ -9,15 +9,16 @@ What this measures (beyond the curated 200-utterance suite in
 ``test_decouple.py``):
 * chunking accuracy at vocabulary scale — every object noun / attribute /
   relation phrase combination the grammar admits, not a hand-picked sample;
-* that the documented relation-attachment simplification (every relation
-  attributed to the main entity, ``decouple.py`` module docstring) does NOT
-  disturb other-entity target spans or the auxi entity: every
-  relation-bearing template asserts ``others``/``auxi`` exactly, so the
-  deviation is MEASURED benign for ``other_entity_map``/auxi supervision,
-  not believed benign. (The reference attaches relations per entity pair via
-  dependency walks, ``sng_parser/backends/spacy_parser.py:221-300``; the
-  only consumer of relation spans is the main row of ``rel_positive_map``,
-  ``src/joint_det_dataset.py:639-667``.)
+* that relation-subject resolution (the positional analog of the
+  reference's dependency walks, ``sng_parser/backends/spacy_parser.py:221-300``)
+  attributes each relation to the right entity: edges are asserted exactly
+  per template, including the non-main-subject template where the rel span
+  must stay OFF the main node (the ``edge['obj_idx']==0`` filter at
+  :436-447 — the only consumer of relation spans is the main row of
+  ``rel_positive_map``, ``src/joint_det_dataset.py:639-667``);
+* that relation phrases never disturb other-entity target spans or the
+  auxi entity: every relation-bearing template asserts ``others``/``auxi``
+  exactly.
 
 The generator only emits combinations whose expected parse is well-defined
 under the reference semantics (filtered for cross-vocabulary homographs,
@@ -111,6 +112,8 @@ def _expected():
     return {
         "main": [], "modifiers": [], "pronouns": [], "relations": [],
         "others": [], "auxi": [], "auxi_lemma": "",
+        # expected ParseResult.edges as (subject_id, landmark_id, spans)
+        "edges": [],
     }
 
 
@@ -168,6 +171,7 @@ def _gen_case(rng, objs, attrs, scenes, rels):
             b.add(m)
         exp["others"] = exp["auxi"] = [b.add(obj2)]
         exp["auxi_lemma"] = vocab.lemma(obj2)
+        exp["edges"] = [(0, 1, list(exp["relations"]))]
         b.add(".")
     elif t == 2:
         # "the obj is a1 and a2 ."  (predicate attributes)
@@ -191,6 +195,7 @@ def _gen_case(rng, objs, attrs, scenes, rels):
         b.add("the")
         exp["others"] = exp["auxi"] = [b.add(obj2)]
         exp["auxi_lemma"] = vocab.lemma(obj2)
+        exp["edges"] = [(0, 1, list(exp["relations"]))]
         b.add(".")
         exp["pronouns"] = [b.add("it")]
         b.add("is")
@@ -207,6 +212,7 @@ def _gen_case(rng, objs, attrs, scenes, rels):
         b.add("the")
         exp["others"] = exp["auxi"] = [b.add(obj2)]
         exp["auxi_lemma"] = vocab.lemma(obj2)
+        exp["edges"] = [(0, 1, list(exp["relations"]))]
         b.add(".")
         b.add("the")
         exp["pronouns"] = [b.add(obj)]  # repeated mention -> coref span
@@ -223,17 +229,23 @@ def _gen_case(rng, objs, attrs, scenes, rels):
         b.add("the")
         exp["others"] = exp["auxi"] = [b.add(obj2)]
         exp["auxi_lemma"] = vocab.lemma(obj2)
+        exp["edges"] = [(0, 1, list(exp["relations"]))]
         b.add(".")
     elif t == 6:
-        # "the wall behind the obj ." -> wall is never the main entity
+        # "the wall behind the obj ." -> wall is never the main entity,
+        # and the relation's SUBJECT is the wall (nearest preceding entity,
+        # = the spaCy head chain), so the reference's edge['obj_idx']==0
+        # filter keeps it off the main node: relations stays empty and the
+        # edge is (wall=1, rel, main=0).
         rel = rels[rng.integers(len(rels))]
         b.add("the")
         wall_span = b.add("wall")
-        exp["relations"] = b.add_phrase(rel)
+        rel_spans = b.add_phrase(rel)
         b.add("the")
         exp["main"] = [b.add(obj)]
         exp["others"] = exp["auxi"] = [wall_span]
         exp["auxi_lemma"] = vocab.lemma("wall")
+        exp["edges"] = [(1, 0, rel_spans)]
         b.add(".")
     elif t == 7:
         # "the obj between the obj2 and the obj3 ."  (two other entities)
@@ -251,6 +263,7 @@ def _gen_case(rng, objs, attrs, scenes, rels):
         exp["others"] = [s2, s3]
         exp["auxi"] = [s2]
         exp["auxi_lemma"] = vocab.lemma(obj2)
+        exp["edges"] = [(0, 1, list(exp["relations"]))]
         b.add(".")
     else:
         # "the [mod] obj in the scene ."  (Scene node: not an other/auxi)
@@ -263,6 +276,8 @@ def _gen_case(rng, objs, attrs, scenes, rels):
         exp["relations"] = [b.add(rel)]
         b.add("the")
         b.add(scene)
+        landmark = -1 if scene in vocab.TRANSPARENT_SCENE_WORDS else 1
+        exp["edges"] = [(0, landmark, list(exp["relations"]))]
         b.add(".")
     return b.text(), exp
 
@@ -291,17 +306,34 @@ def test_corpus_spans_exact():
             assert got[key] == exp[key], (text, key, got[key], exp[key])
         if exp["auxi_lemma"]:
             assert got["auxi_lemma"] == exp["auxi_lemma"], text
-        n_rel += bool(exp["relations"])
-    # the relation-attachment simplification claim needs real coverage:
+        n_rel += bool(exp["relations"]) or bool(exp["edges"])
+    # the relation-attachment claim needs real coverage:
     # most of the corpus must carry relations AND other-entity spans
     assert n_rel >= len(cases) * 0.6
 
 
+def test_corpus_edges_exact():
+    """ParseResult.edges carries (subject, landmark, spans) for every
+    templated relation — incl. the non-main-subject template ("the wall
+    REL the obj"), where the edge exists but the rel span stays OFF the
+    main node (the reference's edge['obj_idx']==0 filter,
+    spacy_parser.py:436-447)."""
+    n_edges = n_nonmain = 0
+    for text, exp in _corpus(n=600, seed=3):
+        res = parse(text)
+        got = [(e.subject_id, e.landmark_id, e.rel_char_span)
+               for e in res.edges]
+        assert got == exp["edges"], (text, got, exp["edges"])
+        n_edges += len(exp["edges"])
+        n_nonmain += sum(1 for s, _, _ in exp["edges"] if s != 0)
+    assert n_edges >= 300 and n_nonmain >= 20
+
+
 def test_relation_attachment_invariance():
-    """Dropping the relation phrase from a relation-bearing utterance leaves
+    """Swapping the relation phrase in a relation-bearing utterance leaves
     the other-entity and auxi spans at the same WORDS (shifted by the
-    removed chars) — the direct measurement that attributing all relations
-    to the main entity cannot corrupt other_entity_map supervision."""
+    changed chars) — the direct measurement that relation tagging cannot
+    corrupt other_entity_map supervision."""
     rng = np.random.default_rng(1)
     objs, attrs, scenes = _clean_objects(), _clean_attributes(), _clean_scenes()
     rels = [
