@@ -215,19 +215,35 @@ def _classify(toks: List[_Tok]) -> None:
         elif t.lower in vocab.ATTRIBUTES:
             t.kind = "ADJ"
 
+    # noun/verb homographs heading a relative clause: "the bin that STANDS
+    # beside the copier", "a lamp that STANDS in the corner" — after a
+    # relativizer whose antecedent is a noun, a noun-tagged homograph is the
+    # clause's verb (spaCy tags VBZ/VBP and never chunks it)
+    for i in range(2, n):
+        if toks[i].kind not in ("NOUN_OBJ", "NOUN_SCENE"):
+            continue
+        if toks[i - 1].lower not in ("that", "which", "who"):
+            continue
+        j = i - 2
+        while j >= 0 and toks[j].kind == "PUNCT":
+            j -= 1
+        if j >= 0 and toks[j].kind in ("NOUN_OBJ", "NOUN_SCENE"):
+            toks[i].kind = "OTHER"
+
     # post-nominal spatial superlatives: "the chair nearest the door" — the
     # reference's spaCy chunker splits "the chair" / "the door" into separate
     # noun chunks with "nearest" outside both (amod attaching right); our
     # greedy chunker would otherwise merge the run into one chunk and demote
-    # "chair" to a modifier. After a noun they act as relation words; before
-    # a noun ("the closest chair") they stay attributive modifiers.
+    # "chair" to a modifier. After a noun or pronoun ("the one nearest the
+    # bed") they act as relation words; before a noun ("the closest chair")
+    # they stay attributive modifiers.
     for i, t in enumerate(toks):
         if t.kind == "REL" or t.lower not in _SPATIAL_SUPERLATIVES:
             continue
         j = i - 1
         while j >= 0 and toks[j].kind == "PUNCT":
             j -= 1
-        if j >= 0 and toks[j].kind in ("NOUN_OBJ", "NOUN_SCENE"):
+        if j >= 0 and toks[j].kind in ("NOUN_OBJ", "NOUN_SCENE", "PRON"):
             t.kind = "REL"
             t.rel_group = group
             group += 1
@@ -275,6 +291,16 @@ def _chunk(toks: List[_Tok]) -> List[_Chunk]:
             noun_kind = None
             while i < n and toks[i].kind in ("DET", "ADJ", "NUM", "NOUN_OBJ", "NOUN_SCENE"):
                 k = toks[i].kind
+                if (
+                    k == "NOUN_SCENE"
+                    and toks[i].lower in vocab.TRANSPARENT_SCENE_WORDS
+                    and noun_kind == "Object"
+                ):
+                    # a TRAILING structural word after an object head is an
+                    # adverb, not a compound: "the cabinet right as you walk
+                    # in" (spaCy tags RB); leading ones stay compounds
+                    # ("the back wall")
+                    break
                 if k in ("ADJ", "NUM"):
                     mods.append(i)
                 elif k in ("NOUN_OBJ", "NOUN_SCENE"):

@@ -108,7 +108,8 @@ RELATION_PHRASES: List[str] = sorted(
         "to the right of", "on the left of", "on the right of",
         "on the other side of", "in front of", "on top of", "far away from",
         "farthest from", "furthest from", "far from", "close to", "closer to",
-        "closest to", "next to", "near to", "adjacent to", "beside", "between",
+        "closest to", "nearer to", "next to",
+        "near to", "adjacent to", "beside", "between",
         "behind", "above", "below", "beneath", "under", "underneath", "over",
         "across from", "opposite of", "opposite", "against", "surrounding",
         "supporting", "supported by", "attached to", "mounted on", "hanging on",

@@ -178,6 +178,61 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def batch_rows_for_devices(mesh: Mesh, devices, global_batch_size: int):
+    """Global-batch row indices that land on ``devices`` under
+    ``batch_sharding`` — the row set a host owning those devices must
+    assemble. Sorted ascending (ranges of different devices never overlap
+    for a 'data'-sharded leading axis, they are asserted disjoint)."""
+    sharding = batch_sharding(mesh)
+    idx_map = sharding.devices_indices_map((global_batch_size,))
+    want = set(devices)
+    rows = []
+    seen = np.zeros(global_batch_size, bool)
+    for dev, idx in idx_map.items():
+        if dev not in want:
+            continue
+        sl = idx[0]
+        r = np.arange(
+            sl.start or 0,
+            global_batch_size if sl.stop is None else sl.stop,
+        )
+        assert not seen[r].any(), "overlapping device shards on batch axis"
+        seen[r] = True
+        rows.append(r)
+    return np.sort(np.concatenate(rows)) if rows else np.zeros(0, np.int64)
+
+
+def process_batch_rows(mesh: Mesh, global_batch_size: int):
+    """This process's slice of every global batch — the
+    ``DistributedSampler`` analog (``/root/reference/main_utils.py:229-242``:
+    each rank loads only its subset of the epoch permutation). Every process
+    computes the SAME epoch permutation (same seed, the reference's
+    ``set_epoch`` semantics, ``main_utils.py:368``) and assembles only the
+    rows whose target devices it hosts."""
+    local = {d for d in mesh.devices.ravel() if d.process_index == jax.process_index()}
+    return batch_rows_for_devices(mesh, local, global_batch_size)
+
+
+def make_global_batch(local_batch, mesh: Mesh, global_batch_size: int):
+    """Global device arrays from per-process local rows.
+
+    ``local_batch`` holds ONLY the rows ``process_batch_rows`` assigned to
+    this process (host-side augmentation/positive-map work scales 1/P with
+    the process count instead of duplicating the pod's batch per host).
+    Single-process: the local rows are all rows and this is byte-identical
+    to ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), (global_batch_size,) + x.shape[1:]
+        ),
+        local_batch,
+    )
+
+
 def _fully_addressable(x) -> bool:
     """Predicate split out so tests can force the multi-host path."""
     return getattr(x, "is_fully_addressable", True)

@@ -30,19 +30,48 @@ LAYERS = {
 }
 
 
-def make_inputs(layer: str, B: int, seed: int = 0):
+def make_inputs(layer: str, B: int, seed: int = 0, scenes: bool = False):
     from eda_tpu.ops.fused_sa import morton_keys
 
     N, M, radius, W, c1, widths = LAYERS[layer]
     rng = np.random.default_rng(seed)
-    xyz = rng.uniform(0, 5.0, (B, N, 3)).astype(np.float32)
-    order = np.argsort(
-        np.asarray(morton_keys(jnp.asarray(xyz), radius * 1.5)), axis=1
-    )
-    xyz = np.take_along_axis(xyz, order[..., None], 1)
+    if scenes:
+        # bench.py's synthetic-scene geometry + the backbone's own FPS chain
+        # (round-3 advisor item: linspace ranks understate window-start
+        # irregularity; this mode replays eda_tpu.utils.flops.sa_chain down
+        # to the requested layer on real scene clouds)
+        from eda_tpu.config import ModelConfig
+        from eda_tpu.data.synthetic import SyntheticConfig, SyntheticScenes
+        from eda_tpu.utils.flops import sa_chain
+
+        cfg = ModelConfig()
+        gen = SyntheticScenes(
+            SyntheticConfig(
+                num_points=cfg.num_points, num_objects=8, text_len=64,
+                max_objects=cfg.max_detected_boxes,
+            ),
+            vocab_size=cfg.text_vocab_size,
+        )
+        pcs = np.stack(
+            [gen.scene(i)["point_clouds"][:, :3] for i in range(B)]
+        )
+        want = int(layer[-1]) - 1
+        for li, (g, layer_xyz, layer_ranks) in enumerate(
+            sa_chain(pcs, cfg, max_scenes=B)
+        ):
+            if li == want:
+                assert (g.n, g.m, g.w) == (N, M, W), (g, LAYERS[layer])
+                xyz, ranks = layer_xyz, layer_ranks.astype(np.int64)
+                break
+    else:
+        xyz = rng.uniform(0, 5.0, (B, N, 3)).astype(np.float32)
+        order = np.argsort(
+            np.asarray(morton_keys(jnp.asarray(xyz), radius * 1.5)), axis=1
+        )
+        xyz = np.take_along_axis(xyz, order[..., None], 1)
+        # evenly-spaced ranks approximate FPS coverage of the sorted cloud
+        ranks = np.round(np.linspace(0, N - 1, M)).astype(np.int64)[None].repeat(B, 0)
     A = rng.normal(size=(B, N, c1)).astype(np.float32)
-    # evenly-spaced ranks approximate FPS coverage of the sorted cloud
-    ranks = np.round(np.linspace(0, N - 1, M)).astype(np.int64)[None].repeat(B, 0)
     cen = np.take_along_axis(xyz, ranks[..., None], 1)
     b_c = rng.normal(size=(B, M, c1)).astype(np.float32)
     block = 16
@@ -68,10 +97,10 @@ def _force(x):
 
 
 def bench_fwd(layer: str, B: int, iters: int, inner: int,
-              with_winners: bool = True) -> float:
+              with_winners: bool = True, scenes: bool = False) -> float:
     from eda_tpu.ops.pallas.sa_kernel import sa_pair_pool_pallas
 
-    A, xyz, b_c, cen, starts, params, kw = make_inputs(layer, B)
+    A, xyz, b_c, cen, starts, params, kw = make_inputs(layer, B, scenes=scenes)
 
     @jax.jit
     def fwd_n(A):
@@ -99,12 +128,12 @@ def bench_fwd(layer: str, B: int, iters: int, inner: int,
 
 
 def bench_bwd(layer: str, B: int, iters: int, inner: int,
-              compact: bool | None = None) -> float:
+              compact: bool | None = None, scenes: bool = False) -> float:
     from eda_tpu.ops.pallas.sa_kernel import (
         _ceil_lane, sa_pair_pool_bwd_pallas, sa_pair_pool_pallas,
     )
 
-    A, xyz, b_c, cen, starts, params, kw = make_inputs(layer, B)
+    A, xyz, b_c, cen, starts, params, kw = make_inputs(layer, B, scenes=scenes)
     out, winners = sa_pair_pool_pallas(
         A, xyz, b_c, cen, starts, params, with_winners=True, **kw
     )
@@ -144,20 +173,28 @@ def main():
     p.add_argument("--inner", type=int, default=4)
     p.add_argument("--bwd", action="store_true")
     p.add_argument("--no-winners", action="store_true")
+    p.add_argument(
+        "--scenes", action="store_true",
+        help="use bench.py's synthetic-scene clouds + the backbone's real "
+        "FPS chain instead of uniform clouds + linspace ranks",
+    )
     args = p.parse_args()
     if args.bwd:
-        dt = bench_bwd(args.layer, args.batch, args.iters, args.inner)
+        dt = bench_bwd(args.layer, args.batch, args.iters, args.inner,
+                       scenes=args.scenes)
         kind = "bwd"
     else:
         dt = bench_fwd(args.layer, args.batch, args.iters, args.inner,
-                       with_winners=not args.no_winners)
+                       with_winners=not args.no_winners, scenes=args.scenes)
         kind = "fwd" + ("" if not args.no_winners else "_nowin")
     print(f"{args.layer} {kind} B={args.batch}: {dt * 1e3:.2f} ms/call")
-    print(
-        "note: synthetic uniform cloud + evenly-spaced center ranks only "
-        "APPROXIMATE FPS in-radius density; confirm A/B winners end-to-end "
-        "with bench.py before changing defaults."
-    )
+    if not args.scenes:
+        print(
+            "note: synthetic uniform cloud + evenly-spaced center ranks only "
+            "APPROXIMATE FPS in-radius density (pass --scenes for bench.py's "
+            "scene geometry); confirm A/B winners end-to-end with bench.py "
+            "before changing defaults."
+        )
 
 
 if __name__ == "__main__":

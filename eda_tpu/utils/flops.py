@@ -216,14 +216,38 @@ def measure_sa_occupancy(point_clouds: np.ndarray, cfg, max_scenes: int = 4):
     (``ops/fused_sa._pallas_starts``: pb = 16 if M % 16 == 0 else 8,
     start = clip(mid_rank - W/2, 0, N - W), 16-quantized).
     """
+    occs = []
+    for g, xyz_all, ranks in sa_chain(point_clouds, cfg, max_scenes):
+        B, N = xyz_all.shape[:2]
+        pb = 16 if g.m % 16 == 0 else 8
+        frac = []
+        for b in range(B):
+            mids = ranks[b].reshape(-1, pb)[:, pb // 2]
+            starts = np.clip(mids - g.w // 2, 0, N - g.w)
+            starts = (starts // 16) * 16
+            for blk, s in enumerate(starts):
+                grp = ranks[b, blk * pb:(blk + 1) * pb]
+                cen = xyz_all[b, grp]                       # (pb, 3)
+                win = xyz_all[b, s:s + g.w]                 # (w, 3)
+                d2 = ((cen[:, None, :] - win[None]) ** 2).sum(-1)
+                frac.append((d2 <= g.radius ** 2).mean())
+        occs.append(float(np.mean(frac)))
+    return occs
+
+
+def sa_chain(point_clouds: np.ndarray, cfg, max_scenes: int = 4):
+    """Yield (geom, layer_xyz, center_ranks) per SA layer, replaying the
+    fused backbone's chain on host: Morton-presorted input, per-layer FPS
+    (two-stage presample at SA1 exactly like ``FusedSetAbstraction``),
+    rank-ordered center chaining. ``layer_xyz`` is the layer's (sorted)
+    input cloud; ``center_ranks`` its centers as sorted ascending ranks."""
     import jax
 
     from eda_tpu.ops import pointops
 
-    occs = []
     xyz_all = np.asarray(point_clouds[:max_scenes, :, :3], np.float32)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        for li, g in enumerate(sa_geometry(cfg)):
+        for g in sa_geometry(cfg):
             B, N = xyz_all.shape[:2]
             if N >= 4 * 8192 >= 4 * g.m:
                 sub = (np.arange(8192) * N) // 8192
@@ -241,24 +265,11 @@ def measure_sa_occupancy(point_clouds: np.ndarray, cfg, max_scenes: int = 4):
                     )
                 )
             ranks = np.sort(inds, axis=1)
-            pb = 16 if g.m % 16 == 0 else 8
-            frac = []
-            for b in range(B):
-                mids = ranks[b].reshape(-1, pb)[:, pb // 2]
-                starts = np.clip(mids - g.w // 2, 0, N - g.w)
-                starts = (starts // 16) * 16
-                for blk, s in enumerate(starts):
-                    grp = ranks[b, blk * pb:(blk + 1) * pb]
-                    cen = xyz_all[b, grp]                       # (pb, 3)
-                    win = xyz_all[b, s:s + g.w]                 # (w, 3)
-                    d2 = ((cen[:, None, :] - win[None]) ** 2).sum(-1)
-                    frac.append((d2 <= g.radius ** 2).mean())
-            occs.append(float(np.mean(frac)))
+            yield g, xyz_all, ranks
             # chain: next layer's cloud = this layer's centers in rank order
             xyz_all = np.take_along_axis(
                 xyz_all, ranks[..., None].astype(np.int64), axis=1
             )
-    return occs
 
 
 def mfu_summary(

@@ -36,3 +36,26 @@ def rng():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run the slow tier (full-model compiles / subprocess CLIs); "
+        "also enabled by EDA_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r4 item 7): the default `pytest -q` skips the
+    full-model-compile tier so a cold run stays in minutes; the full tier
+    runs with `--slow` (or EDA_SLOW=1) and is part of the documented
+    workflow (CLAUDE.md)."""
+    if config.getoption("--slow") or os.environ.get("EDA_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --slow (or EDA_SLOW=1) to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

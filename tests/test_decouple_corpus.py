@@ -371,3 +371,36 @@ def test_corpus_parse_node_schema():
         if exp["auxi"]:
             assert res.auxi_entity is not None
             assert res.auxi_entity.node_type == "Object"
+
+
+def test_docstring_attachment_cases():
+    """The module docstring's worked examples, asserted as edges
+    (advisor r4: the described conjunction/comma/entity-attachment rules
+    must be exercised, not just described)."""
+    def edges_of(cap):
+        res = parse(cap)
+        return [
+            (e.subject_id, e.landmark_id,
+             " ".join(cap[s:t] for s, t in e.rel_char_span))
+            for e in res.edges
+        ]
+
+    # entity attachment: "above" belongs to the window (node 1), not the
+    # curtain — and therefore stays OFF the main rel span
+    cap = "the curtain hanging on the window above the desk ."
+    assert edges_of(cap) == [(0, 1, "hanging on"), (1, 2, "above")]
+    got = decoupled_spans(cap)
+    assert [cap[s:e] for s, e in got["relations"]] == ["hanging", "on"]
+
+    # comma: a trailing comma-phrase re-attaches to the sentence subject
+    cap = "the nightstand is to the right of the bed , under the lamp ."
+    assert edges_of(cap) == [
+        (0, 1, "to the right of"), (0, 2, "under"),
+    ]
+
+    # conjunction: a conjoined relation inherits the previous relation's
+    # subject instead of attaching to the nearest entity
+    cap = "the chair to the left of the table and behind the desk ."
+    assert edges_of(cap) == [
+        (0, 1, "to the left of"), (0, 2, "behind"),
+    ]

@@ -302,3 +302,74 @@ def test_tp_coverage_guard_trips_on_rename():
 
     # model=1 meshes never run the guard (everything replicates by design)
     shard_params(rename(state.params), make_mesh(model=1))
+
+
+def test_per_process_input_sharding_bitmatches_global_path():
+    """VERDICT r4 item 3: the DistributedSampler analog. An 8-device mesh is
+    split into two virtual 'processes' of 4 devices; each assembles ONLY its
+    rows (``batch_rows_for_devices``), the per-device shards are recombined
+    into a global array, and the result bit-matches ``shard_batch`` of the
+    fully-assembled global batch. Also asserts the row sets tile the batch
+    disjointly (reference semantics: ``main_utils.py:229-242`` gives each
+    rank a disjoint subset of the same epoch permutation)."""
+    from jax.sharding import PartitionSpec as P
+
+    from eda_tpu.parallel import (
+        batch_rows_for_devices, batch_sharding, make_mesh, shard_batch,
+    )
+
+    mesh = make_mesh()
+    G = 16
+    batch = {
+        "a": np.arange(G * 5, dtype=np.float32).reshape(G, 5),
+        "b": (np.arange(G * 3 * 2, dtype=np.int32).reshape(G, 3, 2)),
+    }
+    full = shard_batch(jax.tree_util.tree_map(jnp.asarray, batch), mesh)
+
+    devs = list(mesh.devices.ravel())
+    groups = [devs[:4], devs[4:]]
+    rows_per_proc = [batch_rows_for_devices(mesh, g, G) for g in groups]
+    tiled = np.sort(np.concatenate(rows_per_proc))
+    np.testing.assert_array_equal(tiled, np.arange(G))
+    for rows in rows_per_proc:
+        assert 0 < len(rows) < G  # both virtual processes own real work
+
+    sharding = batch_sharding(mesh)
+
+    def build(x):
+        # each virtual process holds ONLY x[rows_p]; cut its local slab into
+        # per-device shards exactly as make_array_from_process_local_data
+        # does on a real pod
+        idx_map = sharding.devices_indices_map((G,) + x.shape[1:])
+        pieces = []
+        for g, rows in zip(groups, rows_per_proc):
+            local = x[rows]  # the only data this process assembled
+            offset = {r: i for i, r in enumerate(rows)}
+            for d in g:
+                sl = idx_map[d][0]
+                r = np.arange(sl.start or 0, G if sl.stop is None else sl.stop)
+                pieces.append(
+                    jax.device_put(local[[offset[i] for i in r]], d)
+                )
+        return jax.make_array_from_single_device_arrays(
+            (G,) + x.shape[1:], sharding, pieces
+        )
+
+    rebuilt = {k: build(v) for k, v in batch.items()}
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(rebuilt[k]), np.asarray(full[k]))
+        assert rebuilt[k].sharding.spec == P("data")
+
+
+def test_process_batch_rows_single_host_is_identity():
+    """With one process, the local slice is the whole batch and
+    make_global_batch reduces to the (byte-identical) shard_batch path."""
+    from eda_tpu.parallel import make_global_batch, make_mesh, process_batch_rows
+
+    mesh = make_mesh()
+    rows = process_batch_rows(mesh, 16)
+    np.testing.assert_array_equal(rows, np.arange(16))
+    batch = {"a": np.arange(32, dtype=np.float32).reshape(16, 2)}
+    out = make_global_batch(batch, mesh, 16)
+    expect = shard_batch(jax.tree_util.tree_map(jnp.asarray, batch), mesh)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(expect["a"]))

@@ -278,7 +278,9 @@ def main(argv=None):
 
     from eda_tpu.losses.criterion import SetCriterionConfig
     from eda_tpu.models import EDAGrounder
-    from eda_tpu.parallel import make_mesh, shard_batch
+    from eda_tpu.parallel import (
+        make_global_batch, make_mesh, process_batch_rows,
+    )
     from eda_tpu.train import TrainState, make_optimizer, make_train_step
     from eda_tpu.train.checkpoint import CheckpointManager
     from eda_tpu.utils.logger import setup_logger
@@ -381,7 +383,13 @@ def main(argv=None):
 
     step_fn = make_train_step(model, crit, donate=False)
     rng = jax.random.key(train_cfg.seed)
+    # Every process derives the SAME epoch permutation from the shared seed
+    # (the reference's DistributedSampler.set_epoch contract,
+    # main_utils.py:229-242,368) and assembles ONLY the rows whose target
+    # devices it hosts — host-side augmentation/positive-map work scales
+    # 1/P with process count instead of duplicating the pod batch per host.
     order_rng = np.random.default_rng(train_cfg.seed)
+    local_rows = process_batch_rows(mesh, global_batch)
 
     profile_left = args.profile
     if profile_left:
@@ -398,11 +406,11 @@ def main(argv=None):
                 idx = np.concatenate([idx, order[: global_batch - len(idx)]])
             chunks.append(idx)
         losses = []
+        local_chunks = [c[local_rows] for c in chunks]
         for it, batch_np in enumerate(
-            prefetch_batches(gen, chunks, model_cfg.butd, args.num_workers)
+            prefetch_batches(gen, local_chunks, model_cfg.butd, args.num_workers)
         ):
-            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
-            batch = shard_batch(batch, mesh)
+            batch = make_global_batch(batch_np, mesh, global_batch)
             state, metrics = step_fn(state, batch, rng)
             total_steps += 1
             if profile_left:
@@ -544,6 +552,11 @@ def evaluate(
         hardness = batch_np.pop("hardness", None)
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         if mesh is not None:
+            # eval assembles the GLOBAL batch on every host (unlike the
+            # train loop's process_batch_rows slicing): the counters run
+            # replicated over to_host_global'd results, so each host needs
+            # the full batch's hardness flags; eval is a rare epoch-end
+            # pass, so duplicated host work is bounded
             batch = shard_batch(batch, mesh)
         ious_dev = score_fn(state.params, state.batch_stats, batch)
         if pending is not None:
