@@ -249,18 +249,22 @@ def sa_chain(point_clouds: np.ndarray, cfg, max_scenes: int = 4):
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         for g in sa_geometry(cfg):
             B, N = xyz_all.shape[:2]
+            # the XLA FPS (bit-identical to the Pallas kernel,
+            # tests/test_pallas_fps.py) — the _auto dispatch would pick the
+            # Pallas path whenever the DEFAULT backend is TPU, which cannot
+            # run under the forced-CPU device context used here
             if N >= 4 * 8192 >= 4 * g.m:
                 sub = (np.arange(8192) * N) // 8192
                 sub_xyz = xyz_all[:, sub]
                 local = np.asarray(
-                    pointops.furthest_point_sample_auto(
+                    pointops.furthest_point_sample(
                         jax.numpy.asarray(sub_xyz), g.m
                     )
                 )
                 inds = sub[local]
             else:
                 inds = np.asarray(
-                    pointops.furthest_point_sample_auto(
+                    pointops.furthest_point_sample(
                         jax.numpy.asarray(xyz_all), g.m
                     )
                 )
