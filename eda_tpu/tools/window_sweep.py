@@ -108,6 +108,22 @@ def main():
         "training (train windows/impl) and print a JSON trace line — makes "
         "long runs yield usable convergence data even when interrupted",
     )
+    ap.add_argument(
+        "--save-params", default="",
+        help="if set, pickle the final TrainState (step/params/batch_stats/"
+        "opt_state, host numpy) to this path after training — lets a long "
+        "overfit run be continued across sessions with --init-params",
+    )
+    ap.add_argument(
+        "--init-params", default="",
+        help="warm-start from a --save-params pickle. The step counter is "
+        "restored, so the batch rotation, the fold_in(step) RNG stream, and "
+        "the printed trace steps all CONTINUE where the saved run stopped — "
+        "a staged run is stream-identical to one long run. --steps counts "
+        "ADDITIONAL steps. Flags must match the saving run (same seed/batch/"
+        "train-batches/impl; use --schedule constant: cosine's period is "
+        "sized to --steps, which differs between stages).",
+    )
     args = ap.parse_args()
 
     if args.dry:
@@ -178,6 +194,25 @@ def main():
             optax.clip_by_global_norm(1.0), optax.adamw(args.lr)
         )
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    if args.init_params:
+        import pickle
+
+        with open(args.init_params, "rb") as f:
+            payload = pickle.load(f)
+        state = state.replace(
+            step=jnp.asarray(payload["step"]),
+            params=jax.tree_util.tree_map(jnp.asarray, payload["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, payload["batch_stats"]
+            ),
+            opt_state=jax.tree_util.tree_map(
+                jnp.asarray, payload["opt_state"]
+            ),
+        )
+        print(
+            f"warm-start from {args.init_params} at step "
+            f"{int(jax.device_get(state.step))}", file=sys.stderr,
+        )
     step = make_train_step(model, crit, donate=False)
     rng = jax.random.key(args.seed)
     n_train_batches = args.train_batches
@@ -197,9 +232,10 @@ def main():
         return (ev.accuracy("last_", 0.25, 1, "bbs"),
                 ev.accuracy("last_", 0.5, 1, "bbs"))
 
-    for i in range(args.steps):
+    start = int(jax.device_get(state.step))
+    for i in range(start, start + args.steps):
         state, metrics = step(state, batches[i % n_train_batches], rng)
-        if i % 25 == 0 or i == args.steps - 1:
+        if i % 25 == 0 or i == start + args.steps - 1:
             print(f"step {i}: loss {_force(metrics['loss']):.3f}", file=sys.stderr)
         if args.eval_every and ((i + 1) % args.eval_every == 0):
             a25, a50 = trace_accuracy(state)
@@ -209,6 +245,24 @@ def main():
                 "acc_05_top1": round(a50, 4),
                 "loss": round(_force(metrics["loss"]), 4),
             }), flush=True)
+
+    if args.save_params:
+        import pickle
+
+        payload = jax.tree_util.tree_map(
+            np.asarray,
+            jax.device_get(
+                {
+                    "step": state.step,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                }
+            ),
+        )
+        with open(args.save_params, "wb") as f:
+            pickle.dump(payload, f)
+        print(f"saved TrainState to {args.save_params}", file=sys.stderr)
 
     if args.eval_on_train:
         eval_batches = batches[: args.eval_batches]
